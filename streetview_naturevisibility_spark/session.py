@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine targets multi-executor clusters over ~100 TB inputs; in this
+sandbox it runs on local[N]. All settings below are cluster-safe:
+
+- AQE on (runtime coalescing + skew-join splitting),
+- Arrow on for every pandas UDF crossing (the only Python in the engine),
+- bounded Arrow batches so wide ``html:binary`` rows can't blow the
+  Python worker heap,
+- shuffle partitions default to a sandbox-friendly value; on a real
+  cluster set ``spark.sql.shuffle.partitions`` ~ 2-3x total cores (AQE
+  coalesces the excess).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Bound Arrow batch size: pages rows carry html:binary payloads.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # Deterministic session timezone for timestamp round-trips vs DuckDB.
+    "spark.sql.session.timeZone": "UTC",
+    # 100 TB scans want larger split sizes; harmless locally.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Quieter driver logs in the sandbox.
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "streetview-naturevisibility-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the
+    sandbox); on a real cluster pass None and let spark-submit decide.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in _DEFAULTS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

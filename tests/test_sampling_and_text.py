@@ -1,0 +1,109 @@
+"""Engine sampling + text kernels vs reference-semantics oracles."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.fixtures.generate import (
+    gen_roads,
+    gen_web_pages,
+    page_html,
+)
+from streetview_naturevisibility_spark.functions.text import (
+    extract_text_kernel,
+    parse_coords_kernel,
+    token_labels_kernel,
+    extract_text,
+)
+from streetview_naturevisibility_spark.operators.sampling import sample_points
+from tests.oracle import oracle_sample_points
+
+
+class TestExtractText:
+    def test_byte_identical_per_url(self):
+        """The per-row invariant gate (BASELINE.json input_hint)."""
+        pages = gen_web_pages(200)
+        extracted = extract_text_kernel(pages["html"])
+        assert (extracted == pages["text"]).all()
+        # byte-level check
+        for t, e in zip(pages["text"], extracted):
+            assert t.encode("utf-8") == e.encode("utf-8")
+
+    def test_missing_p_block_yields_empty_string(self):
+        s = pd.Series([b"<html><body>no p</body></html>", None])
+        out = extract_text_kernel(s)
+        assert out.tolist() == ["", ""]
+
+    def test_parse_coords_roundtrip(self):
+        pages = gen_web_pages(100)
+        coords = parse_coords_kernel(pages["html"])
+        assert np.abs(coords["lon"].to_numpy() - pages["lon"].to_numpy()).max() < 1e-6
+        assert np.abs(coords["lat"].to_numpy() - pages["lat"].to_numpy()).max() < 1e-6
+
+    def test_spark_udf_matches_kernel(self, spark, fixture_dir):
+        df = spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet"))
+        got = (
+            df.select("url", "text", extract_text(F.col("html")).alias("extracted"))
+            .withColumn("ok", F.col("text") == F.col("extracted"))
+            .agg(F.sum(F.col("ok").cast("int")).alias("n_ok"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        assert got.n_ok == got.n
+
+
+class TestTokenLabels:
+    def test_deterministic_and_in_range(self):
+        s = pd.Series(["bala cedo bala", ""])
+        l1 = token_labels_kernel(s)
+        l2 = token_labels_kernel(s)
+        assert l1.tolist() == l2.tolist()
+        assert l1[1] == []
+        assert all(0 <= v < 19 for v in l1[0])
+        # same token -> same label
+        assert l1[0][0] == l1[0][2]
+
+
+class TestSamplePoints:
+    def test_matches_reference_oracle(self, spark, fixture_dir):
+        roads_pd = gen_roads(60)
+        expected = oracle_sample_points(roads_pd, spacing=50)
+
+        roads = spark.read.parquet(os.path.join(fixture_dir, "roads.parquet"))
+        got = (
+            sample_points(roads, spacing=50)
+            .orderBy("point_id")
+            .select("point_id", "road_id", "offset_m", "x", "y")
+            .toPandas()
+        )
+        assert len(got) == len(expected)
+        assert (got["point_id"].to_numpy() == expected["point_id"].to_numpy()).all()
+        assert (got["road_id"].to_numpy() == expected["road_id"].to_numpy()).all()
+        assert (got["offset_m"].to_numpy() == expected["offset_m"].to_numpy()).all()
+        assert np.abs(got["x"].to_numpy() - expected["x"].to_numpy()).max() < 1e-9
+        assert np.abs(got["y"].to_numpy() - expected["y"].to_numpy()).max() < 1e-9
+
+    def test_endpoint_exclusive_and_short_road(self, spark):
+        roads = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "road_id": ["a", "b"],
+                    "geometry_wkt": [
+                        "LINESTRING (0 0, 100 0)",  # length 100 -> offsets 0,50
+                        "LINESTRING (0 0, 0.5 0)",  # length 0.5 -> none
+                    ],
+                    "length": [100.0, 0.5],
+                    "highway": ["residential", "residential"],
+                }
+            )
+        )
+        got = sample_points(roads, spacing=50).select("road_id", "offset_m").collect()
+        assert sorted((r.road_id, r.offset_m) for r in got) == [("a", 0), ("a", 50)]
+
+    def test_determinism_under_repartition(self, spark, fixture_dir):
+        roads = spark.read.parquet(os.path.join(fixture_dir, "roads.parquet"))
+        a = sample_points(roads, spacing=50).orderBy("point_id").toPandas()
+        b = sample_points(roads.repartition(7), spacing=50).orderBy("point_id").toPandas()
+        pd.testing.assert_frame_equal(a, b)
