@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry runs a real engine operator (from
+``streetview_naturevisibility_spark``) over geo tables derived
+deterministically from the driver testdata; the matching
+``oracle_sql()`` entry is its arithmetic twin in DuckDB SQL (see
+sources/derived.py for the pinned-constant contract). Non-SQL
+operators (UTM projection, label-grid GVI, minhash, …) are covered by
+pytest NumPy oracles and appear here as rows-only checks.
 """
 
 from __future__ import annotations
@@ -12,27 +14,493 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.geo.polygon import coords_to_wkt, halfplane_sql
+from streetview_naturevisibility_spark.operators import aggregates as agg
+from streetview_naturevisibility_spark.operators.pip import make_pip_flag_udf
+from streetview_naturevisibility_spark.operators.zonal import zonal_mean
+from streetview_naturevisibility_spark.sources import derived as D
+from streetview_naturevisibility_spark.sources.tables import load
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+# --------------------------------------------------------------- helpers
+def _geo_sql(select: str) -> str:
+    return D.with_clause(*D.GEO_CTES) + "\n" + select
+
+
+# --------------------------------------------------------------- queries
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = D.spark_pages(spark, sf_dir)
+    return pages.groupBy("tile_x", "tile_y").agg(F.count(F.lit(1)).alias("n_pages"))
+
+
+def q_cell_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = D.spark_pages(spark, sf_dir)
+    return (
+        pages.groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .orderBy(F.desc("n_pages"), F.asc("cell_id"))
+        .limit(20)
+    )
+
+
+def q_knn_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.spark_gvi(spark, sf_dir).select(
+        "point_id", "page_url", "snap_distance", "is_panoramic", "missing"
+    )
+
+
+def q_gvi_per_road(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gvi = D.spark_gvi(spark, sf_dir)
+    per = agg.gvi_per_road(gvi)
+    return per.select(
+        "road_id",
+        F.round("avg_gvi", 6).alias("avg_gvi"),
+        "null_points_count",
+        "total_points",
+    )
+
+
+def q_roads_gvi_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roads = D.spark_roads_dim(spark, sf_dir)
+    per = agg.gvi_per_road(D.spark_gvi(spark, sf_dir))
+    out = agg.roads_with_avg_gvi(roads, per)
+    return out.select(
+        "road_id",
+        "length",
+        "highway",
+        F.round("avg_gvi", 6).alias("avg_gvi"),
+        "null_points_count",
+        "total_points",
+    )
+
+
+def q_missing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = agg.missing_images_metrics(D.spark_gvi(spark, sf_dir))
+    return m.select(
+        "unavailable",
+        "unsuitable",
+        "total_null",
+        F.round("proportion_null", 6).alias("proportion_null"),
+        "total_points",
+    )
+
+
+def q_panoramic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = agg.panoramic_images_metrics(D.spark_gvi(spark, sf_dir))
+    return m.select(
+        "panoramic_count",
+        "total_images",
+        F.round("proportion_panoramic", 6).alias("proportion_panoramic"),
+    )
+
+
+def q_availability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = agg.availability_score(D.spark_gvi(spark, sf_dir))
+    return m.select(
+        "gvi_points",
+        F.round("road_length_km", 6).alias("road_length_km"),
+        "total_points",
+        F.round("availability_score", 6).alias("availability_score"),
+        F.round("adjusted_availability_score", 6).alias("adjusted_availability_score"),
+    )
+
+
+def q_usability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = agg.usability_score(D.spark_gvi(spark, sf_dir))
+    return m.select(
+        "gvi_points",
+        F.round("road_length_km", 6).alias("road_length_km"),
+        "total_images",
+        F.round("usability_score", 6).alias("usability_score"),
+        F.round("adjusted_usability_score", 6).alias("adjusted_usability_score"),
+    )
+
+
+def q_highway_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = agg.unavailable_images_per_highway(D.spark_gvi(spark, sf_dir))
+    return out.select(
+        "highway", "total_null", F.round("proportion_null", 6).alias("proportion_null")
+    )
+
+
+def q_top5_highways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = agg.unavailable_images_per_highway(D.spark_gvi(spark, sf_dir))
+    return agg.top5_highways(per).select("highway", "total_null")
+
+
+def q_pip_hexagon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = D.spark_pages(spark, sf_dir)
+    hexagon = D.hex_polygon()
+    inside = make_pip_flag_udf(coords_to_wkt(hexagon, "POLYGON"))
+    return (
+        pages.where(inside(F.col("x"), F.col("y")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def q_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    points = D.spark_points(spark, sf_dir)
+    grid = D.spark_grid(spark, sf_dir)
+    return zonal_mean(points, grid, radius=D.ZONAL_RADIUS)
+
+
+def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume semantics: input MINUS already-done ids as a left-anti
+    join (reference S6/S10 resume, SURVEY.md §2.3)."""
+    points = D.spark_points(spark, sf_dir)
+    done = points.where(F.col("point_id") % 3 == 0).select("point_id")
+    return points.join(done, "point_id", "left_anti").select("point_id", "road_id")
+
+
+def q_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV-shard union + dedup-by-id first-wins (reference U1 + O4,
+    scripts/get_gvi_gpkg.py:18-42)."""
+    from pyspark.sql import Window
+
+    pages = D.spark_pages(spark, sf_dir)
+    s1 = pages.where(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("id"), F.lit(1).alias("shard"), F.col("gvi0").alias("v")
+    )
+    s2 = pages.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("id"),
+        F.lit(2).alias("shard"),
+        (F.col("gvi0") + F.lit(1.0)).alias("v"),
+    )
+    u = s1.unionByName(s2)
+    w = Window.partitionBy("id").orderBy("shard")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("id", "shard", F.round("v", 6).alias("v"))
+    )
+
+
+def q_validity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-check validity filter (reference P4,
+    scripts/get_gvi_gpkg.py:32-39)."""
+    pages = D.spark_pages(spark, sf_dir)
+    s = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("x"), F.col("doc_id").cast("string")),
+    ).otherwise(F.col("doc_id").cast("string"))
+    return (
+        pages.withColumn("s", s)
+        .where(F.col("s").try_cast("double").isNotNull())
+        .select("doc_id", "s")
+    )
+
+
+def q_bbox_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box filter + id range slice (reference P3 + P6)."""
+    pages = D.spark_pages(spark, sf_dir)
+    return pages.where(
+        F.col("x").between(1000.0, 4000.0)
+        & F.col("y").between(2000.0, 8000.0)
+        & (F.col("doc_id") >= 100)
+        & (F.col("doc_id") < 2000)
+    ).select("doc_id", "lang", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
+def q_gap_fill_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill regression (reference predict_missing_gvi.py:34-87):
+    OLS gvi ~ ndvi on known rows, predict missing, union."""
+    from streetview_naturevisibility_spark.operators.regression import gap_fill_linear
+
+    gvi = D.spark_gvi(spark, sf_dir)
+    ndvi = (
+        ((F.col("point_id") * 97 + 13) % D.M32).cast("double") / F.lit(float(D.M32))
+    ).alias("ndvi")
+    df = gvi.select("point_id", "missing", "gvi", ndvi)
+    out = gap_fill_linear(df, feature="ndvi", target="gvi", flag="missing")
+    return out.select(
+        "point_id", "missing", F.round("gvi_filled", 6).alias("gvi_filled")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over documents."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5(F.col("text")).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality stats per document."""
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(
+            (F.length("text") - (n_tokens - 1)) / n_tokens.cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the events stream table."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (general OLAP capability)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    li = load(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
+
+
+# ---------------------------------------------------------------- oracle
+def oracle_sql() -> dict[str, str]:
+    hexagon = D.hex_polygon()
+    hex_pred = halfplane_sql(hexagon, "x", "y")
+    r2 = D.ZONAL_RADIUS * D.ZONAL_RADIUS
+    geo = _geo_sql
+    pages_only = lambda sel: D.with_clause(D.pages_sql()) + "\n" + sel  # noqa: E731
+    return {
+        "tile_assign": pages_only(
+            "SELECT tile_x, tile_y, count(*) AS n_pages FROM pages GROUP BY tile_x, tile_y"
+        ),
+        "cell_topk": pages_only(
+            "SELECT cell_id, count(*) AS n_pages FROM pages GROUP BY cell_id "
+            "ORDER BY n_pages DESC, cell_id LIMIT 20"
+        ),
+        "knn_snap": geo(
+            "SELECT point_id, page_url, snap_distance, is_panoramic, missing FROM gvi"
+        ),
+        "gvi_per_road": geo(
+            "SELECT road_id, round(avg(gvi), 6) AS avg_gvi, "
+            "CAST(sum(CASE WHEN gvi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_points_count, "
+            "count(*) AS total_points FROM gvi GROUP BY road_id"
+        ),
+        "roads_gvi_left": geo(
+            """
+, roads AS (SELECT DISTINCT road_id, length, highway FROM points)
+, per AS (
+  SELECT road_id, round(avg(gvi), 6) AS avg_gvi,
+         CAST(sum(CASE WHEN gvi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_points_count,
+         count(*) AS total_points
+  FROM gvi GROUP BY road_id)
+SELECT r.road_id, r.length, r.highway, p.avg_gvi, p.null_points_count, p.total_points
+FROM roads r LEFT JOIN per p ON r.road_id = p.road_id"""
+        ),
+        "missing_metrics": geo(
+            "SELECT CAST(sum(CASE WHEN page_url = '' THEN 1 ELSE 0 END) AS BIGINT) AS unavailable, "
+            "CAST(sum(CASE WHEN gvi IS NULL AND page_url <> '' THEN 1 ELSE 0 END) AS BIGINT) AS unsuitable, "
+            "CAST(sum(CASE WHEN gvi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_null, "
+            "round(CAST(sum(CASE WHEN gvi IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS proportion_null, "
+            "count(*) AS total_points FROM gvi"
+        ),
+        "panoramic_metrics": geo(
+            "SELECT CAST(sum(CASE WHEN is_panoramic THEN 1 ELSE 0 END) AS BIGINT) AS panoramic_count, "
+            "CAST(sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END) AS BIGINT) AS total_images, "
+            "round(CAST(sum(CASE WHEN is_panoramic THEN 1 ELSE 0 END) AS DOUBLE) / "
+            "sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END), 6) AS proportion_panoramic FROM gvi"
+        ),
+        "availability_score": geo(
+            "SELECT CAST(sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END) AS BIGINT) AS gvi_points, "
+            "round(sum(length) / 1000.0, 6) AS road_length_km, "
+            "count(*) AS total_points, "
+            "round(CAST(sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS availability_score, "
+            "round(sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END) * ln(sum(length) / 1000.0) / count(*), 6) "
+            "AS adjusted_availability_score FROM gvi"
+        ),
+        "usability_score": geo(
+            "SELECT CAST(sum(CASE WHEN gvi IS NOT NULL AND page_url <> '' THEN 1 ELSE 0 END) AS BIGINT) AS gvi_points, "
+            "round(sum(length) / 1000.0, 6) AS road_length_km, "
+            "CAST(sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END) AS BIGINT) AS total_images, "
+            "round(CAST(sum(CASE WHEN gvi IS NOT NULL AND page_url <> '' THEN 1 ELSE 0 END) AS DOUBLE) / "
+            "sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END), 6) AS usability_score, "
+            "round(sum(CASE WHEN gvi IS NOT NULL AND page_url <> '' THEN 1 ELSE 0 END) * "
+            "ln(sum(length) / 1000.0) / sum(CASE WHEN page_url <> '' THEN 1 ELSE 0 END), 6) "
+            "AS adjusted_usability_score FROM gvi"
+        ),
+        "highway_rollup": geo(
+            """
+, g1 AS (
+  SELECT road_id, highway,
+         CAST(sum(CASE WHEN page_url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_null
+  FROM gvi GROUP BY road_id, highway)
+SELECT highway, CAST(sum(total_null) AS BIGINT) AS total_null,
+       round(CAST(sum(total_null) AS DOUBLE) / (SELECT count(*) FROM gvi), 6) AS proportion_null
+FROM g1 GROUP BY highway"""
+        ),
+        "top5_highways": geo(
+            """
+, g1 AS (
+  SELECT road_id, highway,
+         CAST(sum(CASE WHEN page_url IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS total_null
+  FROM gvi GROUP BY road_id, highway)
+SELECT highway, CAST(sum(total_null) AS BIGINT) AS total_null
+FROM g1 GROUP BY highway ORDER BY total_null DESC, highway LIMIT 5"""
+        ),
+        "pip_hexagon": pages_only(
+            f"SELECT lang, count(*) AS n_pages FROM pages WHERE {hex_pred} GROUP BY lang"
+        ),
+        "zonal_mean": D.with_clause(D.points_sql(), D.grid_sql())
+        + f"""
+SELECT q.point_id, round(avg(greatest(g.value, 0.0)), 3) AS mean_ndvi
+FROM points q JOIN grid g
+  ON (g.cx - q.x) * (g.cx - q.x) + (g.cy - q.y) * (g.cy - q.y) <= {r2!r}
+GROUP BY q.point_id""",
+        "anti_join_resume": D.with_clause(D.points_sql())
+        + """
+SELECT point_id, road_id FROM points
+WHERE point_id NOT IN (SELECT point_id FROM points WHERE point_id % 3 = 0)""",
+        "union_dedup": pages_only(
+            """
+SELECT id, shard, round(v, 6) AS v FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY shard) AS rn FROM (
+    SELECT doc_id AS id, 1 AS shard, gvi0 AS v FROM pages WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id AS id, 2 AS shard, gvi0 + 1.0 AS v FROM pages WHERE doc_id % 3 = 0
+  )
+) WHERE rn = 1"""
+        ),
+        "validity_filter": pages_only(
+            """
+SELECT doc_id, s FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+              ELSE CAST(doc_id AS VARCHAR) END AS s
+  FROM pages
+) WHERE TRY_CAST(s AS DOUBLE) IS NOT NULL"""
+        ),
+        "bbox_slice": pages_only(
+            """
+SELECT doc_id, lang, round(x, 6) AS x, round(y, 6) AS y FROM pages
+WHERE x BETWEEN 1000.0 AND 4000.0 AND y BETWEEN 2000.0 AND 8000.0
+  AND doc_id >= 100 AND doc_id < 2000"""
+        ),
+        "gap_fill_linreg": geo(
+            f"""
+, feat AS (
+  SELECT point_id, missing, gvi,
+         CAST((point_id * 97 + 13) % {D.M32} AS DOUBLE) / {float(D.M32)!r} AS ndvi
+  FROM gvi),
+fit AS (
+  SELECT regr_slope(gvi, ndvi) AS slope, regr_intercept(gvi, ndvi) AS icept
+  FROM feat WHERE gvi IS NOT NULL)
+SELECT point_id, missing,
+       round(CASE WHEN gvi IS NOT NULL THEN gvi
+                  ELSE (SELECT icept FROM fit) + (SELECT slope FROM fit) * ndvi END, 6)
+       AS gvi_filled
+FROM feat"""
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, count(*) AS n_dups, "
+            "min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
+        ),
+        "text_stats": (
+            "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "round((length(text) - (len(string_split(text, ' ')) - 1)) / "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len "
+            "FROM documents"
+        ),
+        "lang_rollup": (
+            "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "events_window": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n, round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice), 4) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
+            "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_customers": (
+            "SELECT c.c_custkey, c.c_name, "
+            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_name ORDER BY revenue DESC, c.c_custkey LIMIT 10"
+        ),
+    }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tile_assign": q_tile_assign,
+        "cell_topk": q_cell_topk,
+        "knn_snap": q_knn_snap,
+        "gvi_per_road": q_gvi_per_road,
+        "roads_gvi_left": q_roads_gvi_left,
+        "missing_metrics": q_missing_metrics,
+        "panoramic_metrics": q_panoramic_metrics,
+        "availability_score": q_availability_score,
+        "usability_score": q_usability_score,
+        "highway_rollup": q_highway_rollup,
+        "top5_highways": q_top5_highways,
+        "pip_hexagon": q_pip_hexagon,
+        "zonal_mean": q_zonal_mean,
+        "anti_join_resume": q_anti_join_resume,
+        "union_dedup": q_union_dedup,
+        "validity_filter": q_validity_filter,
+        "bbox_slice": q_bbox_slice,
+        "gap_fill_linreg": q_gap_fill_linreg,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "lang_rollup": q_lang_rollup,
+        "events_window": q_events_window,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
-
-def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: derived pages -> tile assign -> kNN snap -> per-road GVI
+    aggregate at sf0.001."""
+    return q_gvi_per_road(spark, "/root/testdata/sf0.001")
