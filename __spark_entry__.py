@@ -211,7 +211,8 @@ def q_gap_fill_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     gvi = D.spark_gvi(spark, sf_dir)
     ndvi = (
-        ((F.col("point_id") * 97 + 13) % D.M32).cast("double") / F.lit(float(D.M32))
+        ((F.col("point_id") * D.ND_A + D.ND_B) % D.M32).cast("double")
+        / F.lit(float(D.M32))
     ).alias("ndvi")
     df = gvi.select("point_id", "missing", "gvi", ndvi)
     out = gap_fill_linear(df, feature="ndvi", target="gvi", flag="missing")
@@ -422,7 +423,7 @@ WHERE x BETWEEN 1000.0 AND 4000.0 AND y BETWEEN 2000.0 AND 8000.0
             f"""
 , feat AS (
   SELECT point_id, missing, gvi,
-         CAST((point_id * 97 + 13) % {D.M32} AS DOUBLE) / {float(D.M32)!r} AS ndvi
+         CAST((point_id * {D.ND_A} + {D.ND_B}) % {D.M32} AS DOUBLE) / {float(D.M32)!r} AS ndvi
   FROM gvi),
 fit AS (
   SELECT regr_slope(gvi, ndvi) AS slope, regr_intercept(gvi, ndvi) AS icept

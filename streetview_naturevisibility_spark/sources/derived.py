@@ -33,14 +33,21 @@ HX_A, HX_B = 2654435761, 12345
 HY_A, HY_B = 2246822519, 54321
 PX_A, PX_B = 1779033703, 7
 PY_A, PY_B = 3144134277, 11
-GV_A, GV_B, GV_MOD = 48271, 3, 1000
-GU_A, GU_B = 69621, 1
-GW_A, GW_B = 16807, 5
-NV_A, NV_B, NV_MOD = 48271, 11, 2000
+# all multipliers large odd (> 2^32 / max key) so even tiny keys wrap
+# the modulus and the derived fields mix over their full ranges
+GV_A, GV_B = 2483648579, 3
+GU_A, GU_B = 2654435761, 101
+GW_A, GW_B = 2246822519, 202
+NV_A, NV_B = 3266489917, 303
+ND_A, ND_B = 1442695041, 13  # gap-fill ndvi feature hash
 N_ROADS = 211
 UNSUIT_MOD = 17
 ZOOM = 14
-SNAP_RADIUS = 25.0
+# 250 m (vs the reference's 25 m) because the derived pages table is
+# sparse (500 docs over a 75 km^2 box) — the fixture suite tests the
+# faithful 25 m radius at realistic density; here the contract needs a
+# meaningful hit rate to exercise the reduce/tie-break paths.
+SNAP_RADIUS = 250.0
 ZONAL_RADIUS = 250.0
 
 HIGHWAYS = ["residential", "primary", "secondary", "tertiary", "cycleway"]
