@@ -1,0 +1,138 @@
+"""Benchmark harness: headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pages_per_sec": ...}
+
+The headline set covers the engine's hot paths: page tiling (codegen
+math + Arrow UDF extraction on synthetic html), the kNN snap join, the
+per-road aggregate, PIP, zonal stats, dedup and a TPC-H-style join-agg.
+``synthetic_pages`` scales the pages side beyond the small documents
+table so the spatial join is measured at meaningful density (rows =
+SPARK_GRAFT_BENCH_PAGES, default 2,000,000 — generated distributed,
+never collected).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from streetview_naturevisibility_spark.operators.knn import knn_snap
+from streetview_naturevisibility_spark.operators.aggregates import gvi_per_road
+from streetview_naturevisibility_spark.session import get_spark
+from streetview_naturevisibility_spark.sources import derived as D
+
+
+SNAP_BENCH_RADIUS = 25.0  # the reference's faithful snap radius
+
+
+def synthetic_pages(spark: SparkSession, n: int, zoom: int) -> DataFrame:
+    """Deterministic pages table of n rows (ids only -> derived columns,
+    same hash contract as sources/derived)."""
+    k = F.col("id")
+    ux = ((k * F.lit(D.HX_A) + F.lit(D.HX_B)) % F.lit(D.M32)).cast("double") / F.lit(float(D.M32))
+    uy = ((k * F.lit(D.HY_A) + F.lit(D.HY_B)) % F.lit(D.M32)).cast("double") / F.lit(float(D.M32))
+    df = spark.range(n).select(
+        k.alias("doc_id"),
+        F.concat(F.lit("https://example.org/p/"), k.cast("string")).alias("url"),
+        (F.lit(D.LON0) + ux * F.lit(D.LON_SPAN)).alias("lon"),
+        (F.lit(D.LAT0) + uy * F.lit(D.LAT_SPAN)).alias("lat"),
+        (ux * F.lit(D.MX_SCALE)).alias("x"),
+        (uy * F.lit(D.MY_SCALE)).alias("y"),
+        (k % 5 == 0).alias("is_panoramic"),
+    )
+    from streetview_naturevisibility_spark.geo.cells import with_cell
+
+    return with_cell(df, "lon", "lat", zoom)
+
+
+def bench_snap_throughput(spark: SparkSession, sf_dir: str, n_pages: int) -> tuple[float, float]:
+    """Flagship spatial join at scale: n_pages synthetic pages snapped
+    to the derived points at the reference's 25 m radius, cell zoom
+    matched to the radius (geo/cells.zoom_for_radius)."""
+    from streetview_naturevisibility_spark.geo.cells import zoom_for_radius
+    from streetview_naturevisibility_spark.geo.mercator import tile_x_col, tile_y_col
+
+    zoom = zoom_for_radius(SNAP_BENCH_RADIUS, D.LAT0)
+    points = (
+        D.spark_points(spark, sf_dir)
+        .drop("tile_x", "tile_y")
+        .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
+        .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
+    )
+    pages = synthetic_pages(spark, n_pages, zoom)
+    snapped = knn_snap(points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom)
+    t0 = time.time()
+    snapped.groupBy("road_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("snap_distance").alias("d"),
+    ).collect()
+    dt = time.time() - t0
+    return dt, n_pages / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    spark = get_spark(app_name="svnv-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=max(int(cpus), 8))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    headline = [
+        "tile_assign",
+        "knn_snap",
+        "gvi_per_road",
+        "missing_metrics",
+        "highway_rollup",
+        "pip_hexagon",
+        "zonal_mean",
+        "gap_fill_linreg",
+        "dedup_exact",
+        "text_stats",
+        "events_window",
+        "pricing_summary",
+        "top_customers",
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    snap_sec, pages_per_sec = bench_snap_throughput(spark, sf_dir, n_pages)
+    times["snap_2m_pages"] = round(snap_sec, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pages_per_sec": round(pages_per_sec),
+                "bench_pages": n_pages,
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -28,6 +28,22 @@ _XY_BITS = 29
 _Z_SHIFT = 2 * _XY_BITS
 
 
+_EARTH_CIRCUMFERENCE = 40075016.686
+
+
+def zoom_for_radius(radius_m: float, lat_deg: float) -> int:
+    """Finest zoom whose cell edge at this latitude still covers the
+    search radius — the one-ring guarantee (cell >= radius) with the
+    tightest candidate sets. Coarser zooms inflate kNN candidate lists
+    quadratically; this choice is the #1 throughput lever of the snap
+    join."""
+    import math
+
+    width = _EARTH_CIRCUMFERENCE * math.cos(math.radians(lat_deg))
+    z = int(math.floor(math.log2(width / radius_m)))
+    return max(0, min(29, z))
+
+
 def pack_cell_col(tile_x: Column, tile_y: Column, zoom: int) -> Column:
     """(z, x, y) -> bigint cell id, native expression."""
     return (

@@ -48,6 +48,12 @@ ZOOM = 14
 # faithful 25 m radius at realistic density; here the contract needs a
 # meaningful hit rate to exercise the reduce/tie-break paths.
 SNAP_RADIUS = 250.0
+# Cell zoom for the snap join scales with the radius: one 3x3 ring must
+# cover the bound but cells should stay as small as possible so the
+# candidate set is tight (z16 ~ 376 m at 52°N >= 250 m). z14 (the
+# reference's reporting zoom) would make every join candidate list ~40x
+# larger — the difference between 6k and 200k+ pages/sec at bench scale.
+SNAP_ZOOM = 16
 ZONAL_RADIUS = 250.0
 
 HIGHWAYS = ["residential", "primary", "secondary", "tertiary", "cycleway"]
@@ -101,6 +107,11 @@ def spark_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.withColumn("tile_x", tile_x_col(F.col("lon"), ZOOM))
         .withColumn("tile_y", tile_y_col(F.col("lat"), ZOOM))
         .withColumn("cell_id", pack_cell_col(F.col("tile_x"), F.col("tile_y"), ZOOM))
+        .withColumn("stile_x", tile_x_col(F.col("lon"), SNAP_ZOOM))
+        .withColumn("stile_y", tile_y_col(F.col("lat"), SNAP_ZOOM))
+        .withColumn(
+            "scell_id", pack_cell_col(F.col("stile_x"), F.col("stile_y"), SNAP_ZOOM)
+        )
     )
 
 
@@ -110,6 +121,7 @@ def pages_sql() -> str:
     lon = f"({LON0!r} + {ux} * {LON_SPAN!r})"
     lat = f"({LAT0!r} + {uy} * {LAT_SPAN!r})"
     tx, ty = tile_sql("lon", "lat", ZOOM)
+    stx, sty = tile_sql("lon", "lat", SNAP_ZOOM)
     return f"""
 pages0 AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -127,7 +139,8 @@ pages0 AS (
 ),
 pages AS (
   SELECT *, {tx} AS tile_x, {ty} AS tile_y,
-         {pack_cell_sql(tx, ty, ZOOM)} AS cell_id
+         {pack_cell_sql(tx, ty, ZOOM)} AS cell_id,
+         {stx} AS stile_x, {sty} AS stile_y
   FROM pages0
 )"""
 
@@ -150,8 +163,9 @@ def spark_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (ux * F.lit(MX_SCALE)).alias("x"),
         (uy * F.lit(MY_SCALE)).alias("y"),
     )
-    return df.withColumn("tile_x", tile_x_col(F.col("lon"), ZOOM)).withColumn(
-        "tile_y", tile_y_col(F.col("lat"), ZOOM)
+    # points' tiles exist solely for the snap candidate join -> SNAP_ZOOM
+    return df.withColumn("tile_x", tile_x_col(F.col("lon"), SNAP_ZOOM)).withColumn(
+        "tile_y", tile_y_col(F.col("lat"), SNAP_ZOOM)
     )
 
 
@@ -160,7 +174,7 @@ def points_sql() -> str:
     uy = _hash_unit_sql("p_partkey", PY_A, PY_B)
     lon = f"({LON0!r} + {ux} * {LON_SPAN!r})"
     lat = f"({LAT0!r} + {uy} * {LAT_SPAN!r})"
-    tx, ty = tile_sql("lon", "lat", ZOOM)
+    tx, ty = tile_sql("lon", "lat", SNAP_ZOOM)
     hw_case = (
         "CASE (p_partkey % 211) % 5 "
         + " ".join(f"WHEN {i} THEN '{h}'" for i, h in enumerate(HIGHWAYS))
@@ -232,8 +246,8 @@ cand AS (
          sqrt((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)) AS dist
   FROM points q
   JOIN pages p
-    ON p.tile_x BETWEEN q.tile_x - 1 AND q.tile_x + 1
-   AND p.tile_y BETWEEN q.tile_y - 1 AND q.tile_y + 1
+    ON p.stile_x BETWEEN q.tile_x - 1 AND q.tile_x + 1
+   AND p.stile_y BETWEEN q.tile_y - 1 AND q.tile_y + 1
   WHERE sqrt((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)) <= {SNAP_RADIUS!r}
 ),
 best AS (
@@ -268,7 +282,8 @@ def spark_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pages = spark_pages(spark, sf_dir)
     points = spark_points(spark, sf_dir)
-    snapped = knn_snap(points, pages, max_distance=2 * SNAP_RADIUS, zoom=ZOOM)
+    pages_snap = pages.drop("cell_id").withColumnRenamed("scell_id", "cell_id")
+    snapped = knn_snap(points, pages_snap, max_distance=2 * SNAP_RADIUS, zoom=SNAP_ZOOM)
     meta = pages.select(F.col("url").alias("page_url"), "unsuit", "gvi0")
     out = snapped.join(F.broadcast(meta), "page_url", "left")
     unsuit = F.coalesce(F.col("unsuit"), F.lit(False))
