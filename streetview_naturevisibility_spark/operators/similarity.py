@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: dot product / norms as JVM higher-order
+  functions (zip_with + aggregate) — whole-stage codegen, exact
+  baseline; TakeOrderedAndProject for the top-k (no full sort).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures computed
+  in a vectorized NumPy pandas UDF (one matmul per Arrow batch); at
+  query time only matching multi-probe buckets are scanned. The scale
+  path: signatures are computed once and stored; queries touch
+  ~1/2^bits of the data per probe.
+- embedding-cosine near-dup pairs: same hyperplane buckets self-joined,
+  exact cosine verify.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+
+def cosine_col(vec_col, query: list[float]):
+    """cos(vec, query) as pure JVM expressions."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    dot = F.aggregate(
+        F.zip_with(vec_col, q, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nv = F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nq = float(np.sqrt(np.sum(np.asarray(query, dtype=np.float64) ** 2)))
+    return dot / (nv * F.lit(nq))
+
+
+def brute_force_topk(
+    df: DataFrame, query: list[float], k: int = 10, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Exact cosine top-k (ties broken by id for determinism)."""
+    return (
+        df.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 7) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def make_lsh_sig_udf(planes: np.ndarray):
+    """Signature = bit pattern of sign(P @ v), one matmul per batch."""
+
+    @F.pandas_udf(IntegerType())
+    def lsh_sig(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        signs = (mat @ planes.T) > 0
+        weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int32))
+
+    return lsh_sig
+
+
+def ann_topk_lsh(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k: scan only buckets whose signature is within
+    ``multiprobe_hamming`` of the query's signature, exact cosine inside."""
+    q = np.asarray(query, dtype=np.float64)
+    planes = hyperplanes(len(query), n_planes, seed)
+    qsig = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)).astype(np.int64))
+    probe = [qsig]
+    if multiprobe_hamming >= 1:
+        probe += [qsig ^ (1 << j) for j in range(n_planes)]
+    sig_udf = make_lsh_sig_udf(planes)
+    sigs = df.withColumn("_sig", sig_udf(F.col(vec_col)))
+    cand = sigs.where(F.col("_sig").isin(probe))
+    return (
+        cand.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup pairs: hyperplane-bucket self-join + exact
+    cosine verify (recall bounded by bucket collision probability;
+    raise n_planes for precision, add probes for recall)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    sig_udf = make_lsh_sig_udf(planes)
+    sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "sig", sig_udf(F.col("v"))
+    )
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(f"{side}.v"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        a.join(b, F.col("a.sig") == F.col("b.sig"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (dot / (norm("a") * norm("b"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -1,0 +1,128 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything except the rolling-hash fingerprint is pure JVM column
+algebra (codegen over the 100 TB side); the fingerprint is a vectorized
+NumPy pandas UDF (winnowing-style min-hash over a rolling window).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# tiny pinned stopword lists — heuristic n-gram/stopword language ID
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "nl": ["de", "het", "een", "en", "van", "ik", "dat", "die", "niet", "op"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "que", "pour", "dans"],
+}
+
+
+def lang_score_col(text_col: str, lang: str):
+    """score(lang) = |distinct_tokens ∩ stopwords(lang)| (JVM-only)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.array_intersect(toks, sw))
+
+
+def lang_id_col(text_col: str):
+    """Heuristic language ID: argmax over stopword hit counts, fold
+    tie-break (first language in alphabetical order wins ties) — the
+    exact rule is mirrored by a CASE chain in the DuckDB oracle."""
+    s = {lang: lang_score_col(text_col, lang) for lang in ("de", "en", "fr", "nl")}
+    return (
+        F.when(s["nl"] > F.greatest(s["de"], s["en"], s["fr"]), F.lit("nl"))
+        .when(s["fr"] > F.greatest(s["de"], s["en"]), F.lit("fr"))
+        .when(s["en"] > s["de"], F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_score_cols(text_col: str) -> dict[str, F.Column]:
+    """Reference-style heuristic quality features + a composite score."""
+    toks = F.split(F.col(text_col), " ")
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(text_col).cast("double")
+    mean_tok = (n_chars - (n_tokens - 1)) / n_tokens
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    alpha_ratio = alpha_chars / n_chars
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    score = (
+        F.when((n_tokens >= 50) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(alpha_ratio >= 0.6, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(distinct_ratio >= 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "mean_token_len": mean_tok,
+        "alpha_ratio": alpha_ratio,
+        "distinct_token_ratio": distinct_ratio,
+        "quality_score": score,
+    }
+
+
+def token_count_col(text_col: str, mode: str = "whitespace"):
+    """Token counting: whitespace or BPE-ish (regexp word/punct pieces)."""
+    if mode == "whitespace":
+        return F.size(F.split(F.col(text_col), " ")).cast("long")
+    # BPE-ish: count word pieces + digits + punctuation separately
+    pieces = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("long")
+
+
+def _fingerprint_kernel(texts: pd.Series, window: int = 8) -> pd.Series:
+    """Winnowing-style fingerprint: min rolling Rabin-Karp hash over
+    token windows (documents sharing long runs collide)."""
+    B = np.uint64(1000003)
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = t.split(" ")
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for j, tok in enumerate(toks):
+            h = np.uint64(14695981039346656037)
+            for byte in tok.encode("utf-8"):
+                h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
+            hs[j] = h
+        if len(hs) < window:
+            win = hs
+            acc = np.uint64(0)
+            for h in win:
+                acc = acc * B + h
+            out[i] = np.int64(acc.astype(np.int64))
+            continue
+        # rolling combine over windows, take min (shift-invariant)
+        n_win = len(hs) - window + 1
+        accs = np.zeros(n_win, dtype=np.uint64)
+        powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+        for w in range(n_win):
+            accs[w] = np.dot(hs[w : w + window], powers)
+        out[i] = np.int64(accs.min().astype(np.int64))
+    return pd.Series(out)
+
+
+fingerprint_udf = F.pandas_udf(lambda s: _fingerprint_kernel(s), LongType())
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    cols = quality_score_cols(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id_col(text_col).alias("lang_pred"),
+        cols["n_tokens"].alias("n_tokens"),
+        token_count_col(text_col, "bpe").alias("n_bpe_pieces"),
+        F.round(cols["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(cols["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(cols["distinct_token_ratio"], 6).alias("distinct_token_ratio"),
+        F.round(cols["quality_score"], 6).alias("quality_score"),
+        fingerprint_udf(F.col(text_col)).alias("fingerprint"),
+    )
