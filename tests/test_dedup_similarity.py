@@ -1,0 +1,161 @@
+"""Dedup & similarity operators vs brute-force NumPy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.operators import dedup, similarity, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_pd(spark, docs):
+    return docs.toPandas()
+
+
+def _shingle_set(text: str, n: int = 3) -> set:
+    toks = text.split(" ")
+    m = max(len(toks) - n + 1, 1)
+    return {" ".join(toks[i : i + n]) for i in range(m)}
+
+
+def _true_jaccard_pairs(docs_pd: pd.DataFrame, threshold: float, n: int = 3) -> dict:
+    sets = {r.doc_id: _shingle_set(r.text, n) for r in docs_pd.itertuples()}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+class TestMinhashLSH:
+    def test_verified_pairs_are_exact_and_recall_is_high(self, spark, docs, docs_pd):
+        thr = 0.2
+        got = dedup.minhash_lsh_pairs(docs, k=32, bands=16, jaccard_threshold=thr).toPandas()
+        truth = _true_jaccard_pairs(docs_pd, thr)
+        # precision: every reported pair is a true pair with the exact score
+        for r in got.itertuples():
+            key = (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            assert key in truth
+            assert abs(r.jaccard - truth[key]) < 1e-5
+        # recall vs LSH theory: with k=32, b=16, r=2 a pair at j>=0.45
+        # collides with prob >= 1-(1-j^2)^16 ~ 0.97
+        strong = {k for k, j in truth.items() if j >= 0.45}
+        found = {(min(a, b), max(a, b)) for a, b in zip(got.id_a, got.id_b)}
+        if strong:
+            assert len(strong & found) / len(strong) >= 0.9
+
+    def test_signatures_deterministic(self, spark, docs):
+        s1 = dedup.minhash_signatures(docs, k=8).orderBy("id").toPandas()
+        s2 = dedup.minhash_signatures(docs.repartition(7), k=8).orderBy("id").toPandas()
+        assert s1["minhash"].map(tuple).tolist() == s2["minhash"].map(tuple).tolist()
+
+
+class TestSimhash:
+    def test_kernel_matches_bit_majority(self):
+        texts = pd.Series(["alpha beta gamma", "alpha beta gamma", "alpha beta delta"])
+        sigs = dedup.simhash_kernel(texts)
+        assert sigs[0] == sigs[1]
+        assert sigs[0] != sigs[2]
+        # hamming distance between near-identical docs is small
+        ham = bin(int(sigs[0]) ^ int(sigs[2])).count("1")
+        assert ham <= 32
+
+    def test_pairs_verified_by_popcount(self, spark, docs):
+        pairs = dedup.simhash_near_dups(docs, max_hamming=3).toPandas()
+        sigs = {
+            r.id: r.sig
+            for r in docs.select(
+                F.col("doc_id").alias("id"),
+                dedup.simhash_udf(F.col("text")).alias("sig"),
+            ).collect()
+        }
+        for r in pairs.itertuples():
+            assert bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1") == r.hamming
+            assert r.hamming <= 3
+
+
+class TestTokenJaccard:
+    def test_matches_bruteforce_within_buckets(self, spark, docs, docs_pd):
+        got = dedup.token_jaccard_pairs(docs, threshold=0.7).toPandas()
+        # oracle: token SETS, same bucketing constraint
+        sets = {r.doc_id: set(r.text.split(" ")) for r in docs_pd.itertuples()}
+        exact = {}
+        for a in sets:
+            for b in sets:
+                if a >= b:
+                    continue
+                na, nb = len(sets[a]) // 10, len(sets[b]) // 10
+                if abs(na - nb) > 1:
+                    continue
+                inter = len(sets[a] & sets[b])
+                j = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if j >= 0.7:
+                    exact[(a, b)] = j
+        got_keys = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b)) for r in got.itertuples()}
+        assert got_keys == set(exact)
+
+
+class TestSimilarity:
+    def test_brute_force_matches_numpy(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        q = mat[0]
+        cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -cos))[:10]
+        expected = pdf["vec_id"].to_numpy()[order].tolist()
+        got = similarity.brute_force_topk(emb, q.tolist(), 10).toPandas()
+        assert got["id"].tolist() == expected
+        assert np.abs(got["cosine"].to_numpy() - np.sort(cos)[::-1][:10]).max() < 1e-5
+
+    def test_ann_results_subset_of_exact_ranking(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 3).first().embedding)
+        exact = similarity.brute_force_topk(emb, q, 50).toPandas()
+        ann = similarity.ann_topk_lsh(emb, q, 10, n_planes=6).toPandas()
+        # every ANN result carries its true cosine; top-1 must be the
+        # query's own vector (sig-identical bucket)
+        assert ann["id"].iloc[0] == 3
+        assert ann["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+
+    def test_cosine_near_dup_subset_of_exact(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        got = similarity.cosine_near_dup_pairs(emb, threshold=0.3, n_planes=4).toPandas()
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        norms = np.linalg.norm(mat, axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        idx = {v: i for i, v in enumerate(ids)}
+        for r in got.itertuples():
+            a, b = idx[r.id_a], idx[r.id_b]
+            true_cos = float(mat[a] @ mat[b] / (norms[a] * norms[b]))
+            assert true_cos >= 0.3 - 1e-9
+            assert abs(true_cos - r.cosine) < 1e-5
+
+
+class TestTextops:
+    def test_lang_id_mostly_en_on_synthetic_docs(self, spark, docs):
+        out = docs.select(textops.lang_id_col("text").alias("lang")).groupBy("lang").count()
+        counts = {r.lang: r["count"] for r in out.collect()}
+        assert counts.get("en", 0) > 0.5 * sum(counts.values())
+
+    def test_quality_and_fingerprint_deterministic(self, spark, docs):
+        a = textops.analyze_documents(docs).orderBy("doc_id").toPandas()
+        b = textops.analyze_documents(docs.repartition(9)).orderBy("doc_id").toPandas()
+        pd.testing.assert_frame_equal(a, b)
+        assert ((a["quality_score"] >= 0) & (a["quality_score"] <= 1)).all()
+        assert (a["n_tokens"] > 0).all()
