@@ -46,6 +46,7 @@ def knn_snap(
     salt: int | None = None,
     broadcast_points: bool = True,
     key_col: str = "url",
+    reduce: str = "sort_exact",
 ) -> DataFrame:
     """Snap each point to its nearest page within ``max_distance/2``.
 
@@ -100,7 +101,25 @@ def knn_snap(
         F.col("_url").alias("url"),
         F.col("_pano").alias("pano"),
     )
-    if salt:
+    if reduce == "two_phase":
+        # HashAggregate-friendly exact reduce: min(struct) has no
+        # mutable primitive buffer, so Spark falls back to
+        # SortAggregate — fine when the post-filter candidate set is
+        # sparse, but a per-partition sort of ALL candidates in dense
+        # regions. Two-phase instead: (1) min(dist) per point — pure
+        # primitive, hash partial+final; (2) min(struct) only over the
+        # rows matching the winning distance (>=1 per point, ~1 in
+        # practice). The candidate set is persisted so the pages scan
+        # happens exactly once.
+        cand = cand.persist()
+        md = cand.groupBy("point_id").agg(F.min("_dist").alias("_md"))
+        best = (
+            cand.join(F.broadcast(md), "point_id")
+            .where(F.col("_dist") == F.col("_md"))
+            .groupBy("point_id")
+            .agg(F.min(best_struct).alias("best"))
+        )
+    elif salt:
         # Explicit two-stage salted reduce for adversarially hot cells:
         # pre-reduce per (point_id, salt bucket), then final reduce.
         pre = (
@@ -112,7 +131,7 @@ def knn_snap(
     else:
         best = cand.groupBy("point_id").agg(F.min(best_struct).alias("best"))
 
-    out = points.join(best, "point_id", "left")
+    out = points.join(F.broadcast(best), "point_id", "left")
     # reference miss semantics: image_id == "" (empty string, NOT null,
     # osmnx_road_network.py:150) for string keys; null for numeric keys
     miss_key = F.lit("") if key_is_string else F.lit(None)

@@ -283,7 +283,13 @@ def spark_gvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = spark_pages(spark, sf_dir)
     points = spark_points(spark, sf_dir)
     pages_snap = pages.drop("cell_id").withColumnRenamed("scell_id", "cell_id")
-    snapped = knn_snap(points, pages_snap, max_distance=2 * SNAP_RADIUS, zoom=SNAP_ZOOM)
+    snapped = knn_snap(
+        points,
+        pages_snap,
+        max_distance=2 * SNAP_RADIUS,
+        zoom=SNAP_ZOOM,
+        reduce="two_phase",  # hash partial+final aggs; exact (tested)
+    )
     meta = pages.select(F.col("url").alias("page_url"), "unsuit", "gvi0")
     out = snapped.join(F.broadcast(meta), "page_url", "left")
     unsuit = F.coalesce(F.col("unsuit"), F.lit(False))

@@ -129,3 +129,24 @@ class TestKnnSnap:
         pages = prepare_pages(pages_raw.drop("lon", "lat"), keep_text=False)
         again = knn_snap(points, pages, max_distance=50.0).orderBy("point_id").toPandas()
         assert (again["page_url"].to_numpy() == snapped["page_url"].to_numpy()).all()
+
+
+class TestKnnReduceVariants:
+    def test_two_phase_identical_to_sort_exact(self, spark, fixture_dir, snapped):
+        from streetview_naturevisibility_spark.operators.sampling import sample_points
+        from streetview_naturevisibility_spark.operators.tiling import prepare_pages
+
+        roads = spark.read.parquet(os.path.join(fixture_dir, "roads.parquet"))
+        pages_raw = spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet"))
+        points = sample_points(roads, spacing=50)
+        pages = prepare_pages(pages_raw.drop("lon", "lat"), keep_text=False)
+        two = (
+            knn_snap(points, pages, max_distance=50.0, reduce="two_phase")
+            .orderBy("point_id")
+            .toPandas()
+        )
+        assert (two["page_url"].to_numpy() == snapped["page_url"].to_numpy()).all()
+        a = two["snap_distance"].to_numpy(dtype=float)
+        b = snapped["snap_distance"].to_numpy(dtype=float)
+        assert (np.isnan(a) == np.isnan(b)).all()
+        assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)])
