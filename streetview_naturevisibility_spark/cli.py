@@ -1,0 +1,162 @@
+"""spark-submit entry point — the engine twin of the reference CLIs.
+
+    spark-submit --py-files svnv_spark.zip -m ... cli.py pipeline \\
+        --roads roads.parquet --pages pages.parquet --out results/ \\
+        [--spacing 50] [--max-distance 50] [--cut-by-road-centres] \\
+        [--checkpoint results/_ckpt] [--begin N --end M]
+
+Subcommands (reference analogs cited):
+- ``pipeline``  — main_script.py end-to-end: sample points -> tile ->
+  kNN snap -> GVI -> per-road aggregate, each stage checkpointed with
+  per-partition lineage (resume = rerun the same command).
+- ``metrics``   — scripts/mean_gvi_street.py + results_metrics.py
+  reporting chain over a finished pipeline output.
+- ``gap-fill``  — predict_missing_gvi.py: zonal NDVI + OLS fill.
+
+On a real cluster drop ``--master``; on the sandbox it defaults to
+local[$SPARK_GRAFT_CPUS].
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from pyspark.sql import functions as F
+
+from .operators.aggregates import (
+    availability_score,
+    build_intersection,
+    gvi_per_road,
+    missing_images_metrics,
+    panoramic_images_metrics,
+    roads_with_avg_gvi,
+    top5_highways,
+    unavailable_images_per_highway,
+    usability_score,
+)
+from .operators.gvi import score_snapped_points
+from .operators.knn import knn_snap
+from .operators.regression import gap_fill_linear
+from .operators.resume import read_lineage, run_stage
+from .operators.sampling import sample_points
+from .operators.tiling import prepare_pages
+from .operators.zonal import zonal_mean
+from .session import get_spark
+
+
+def cmd_pipeline(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="svnv-pipeline", master=args.master)
+    roads = spark.read.parquet(args.roads)
+    pages_raw = spark.read.parquet(args.pages)
+    root = args.checkpoint or os.path.join(args.out, "_ckpt")
+
+    points = run_stage(
+        spark, root, "sample_points", lambda: sample_points(roads, args.spacing)
+    )
+    pages = run_stage(
+        spark, root, "pages_prepared", lambda: prepare_pages(pages_raw)
+    )
+    snapped = run_stage(
+        spark,
+        root,
+        "snapped",
+        lambda: knn_snap(points, pages, max_distance=args.max_distance),
+    )
+    gvi_sel = snapped
+    if args.begin is not None or args.end is not None:
+        lo = args.begin or 0
+        hi = args.end if args.end is not None else 1 << 62
+        gvi_sel = snapped.where(
+            (F.col("point_id") >= F.lit(lo)) & (F.col("point_id") < F.lit(hi))
+        )
+    gvi = run_stage(
+        spark,
+        root,
+        "gvi_points",
+        lambda: score_snapped_points(gvi_sel, pages, args.cut_by_road_centres),
+    )
+    per_road = gvi_per_road(build_intersection(gvi, points, roads))
+    per_road.orderBy("road_id").write.mode("overwrite").parquet(
+        os.path.join(args.out, "gvi_per_road")
+    )
+    gvi.orderBy("point_id").write.mode("overwrite").parquet(
+        os.path.join(args.out, "gvi_points")
+    )
+    for stage in ("sample_points", "pages_prepared", "snapped", "gvi_points"):
+        recs = read_lineage(root, stage)
+        rows = sum(r["rows"] for r in recs)
+        print(f"[lineage] {stage}: {len(recs)} partitions, {rows} rows")
+
+
+def cmd_metrics(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="svnv-metrics", master=args.master)
+    roads = spark.read.parquet(args.roads)
+    points = spark.read.parquet(os.path.join(args.results, "_ckpt", "sample_points", "data"))
+    gvi = spark.read.parquet(os.path.join(args.results, "gvi_points"))
+    inter = build_intersection(gvi, points, roads).cache()
+
+    print("gvi-streets (per-road):")
+    roads_with_avg_gvi(roads, gvi_per_road(inter)).orderBy("road_id").show(20)
+    print("missing images:")
+    missing_images_metrics(inter).show()
+    print("panoramic images:")
+    panoramic_images_metrics(inter).show()
+    print("availability score:")
+    availability_score(inter).show()
+    print("usability score:")
+    usability_score(inter).show()
+    print("top-5 highway types by image count:")
+    top5_highways(unavailable_images_per_highway(inter)).show()
+
+
+def cmd_gap_fill(args: argparse.Namespace) -> None:
+    spark = get_spark(app_name="svnv-gapfill", master=args.master)
+    gvi = spark.read.parquet(os.path.join(args.results, "gvi_points"))
+    points = spark.read.parquet(os.path.join(args.results, "_ckpt", "sample_points", "data"))
+    grid = spark.read.parquet(args.ndvi_grid)
+    ndvi = zonal_mean(points, grid, radius=args.distance / 2.0)
+    feats = gvi.join(ndvi, "point_id", "left").withColumnRenamed("mean_ndvi", "ndvi")
+    out = gap_fill_linear(
+        feats.where(F.col("ndvi").isNotNull()), feature="ndvi", target="gvi"
+    )
+    out.orderBy("point_id").write.mode("overwrite").parquet(
+        os.path.join(args.results, "gvi_filled")
+    )
+    print("gap-fill complete -> gvi_filled")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="svnv-spark")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("pipeline")
+    pp.add_argument("--roads", required=True)
+    pp.add_argument("--pages", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--spacing", type=int, default=50)
+    pp.add_argument("--max-distance", type=float, default=50.0)
+    pp.add_argument("--cut-by-road-centres", action="store_true")
+    pp.add_argument("--checkpoint", default=None)
+    pp.add_argument("--begin", type=int, default=None)
+    pp.add_argument("--end", type=int, default=None)
+    pp.set_defaults(fn=cmd_pipeline)
+
+    pm = sub.add_parser("metrics")
+    pm.add_argument("--roads", required=True)
+    pm.add_argument("--results", required=True)
+    pm.set_defaults(fn=cmd_metrics)
+
+    pg = sub.add_parser("gap-fill")
+    pg.add_argument("--results", required=True)
+    pg.add_argument("--ndvi-grid", required=True)
+    pg.add_argument("--distance", type=float, default=50.0)
+    pg.set_defaults(fn=cmd_gap_fill)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
