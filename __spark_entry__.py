@@ -347,6 +347,71 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_near_dup_pairs(emb, threshold=0.5, n_planes=6)
 
 
+def q_edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional-edge dedup (reference O5,
+    modules/osmnx_road_network.py:22-38): canonicalize (u,v) to
+    (least, greatest), keep the first direction encountered in
+    deterministic (u, v) order."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % 100).alias("u"),
+        (F.col("l_partkey") % 97).alias("v"),
+    ).distinct()
+    w = Window.partitionBy("cu", "cv").orderBy("u", "v")
+    return (
+        edges.withColumn("cu", F.least("u", "v"))
+        .withColumn("cv", F.greatest("u", "v"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("u", "v")
+    )
+
+
+def q_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds aggregate (reference A11: poi.total_bounds,
+    modules/availability.py:122-126)."""
+    pages = D.spark_pages(spark, sf_dir)
+    return pages.agg(
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.min("y"), 6).alias("min_y"),
+        F.round(F.max("x"), 6).alias("max_x"),
+        F.round(F.max("y"), 6).alias("max_y"),
+    )
+
+
+def q_overlay_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-overlay area ratio (reference J7) over the derived grid:
+    'canopy' = grid cells with value > 0.5."""
+    from streetview_naturevisibility_spark.operators.zonal import overlay_area_ratio
+
+    points = D.spark_points(spark, sf_dir)
+    grid = D.spark_grid(spark, sf_dir).withColumn(
+        "canopy", (F.col("value") > 0.5).cast("int")
+    )
+    return overlay_area_ratio(points, grid, "canopy", 1, radius=D.ZONAL_RADIUS)
+
+
+def q_gvi_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference GVI scorer (label grid, RLE, peaks, crops)
+    over documents.text (rows-only: pytest holds the NumPy oracle)."""
+    from streetview_naturevisibility_spark.operators.gvi import make_gvi_udf
+
+    docs = load(spark, sf_dir, "documents")
+    gvi_udf = make_gvi_udf(cut_by_road_centres=False)
+    return docs.select(
+        "doc_id",
+        gvi_udf(F.col("text"), (F.col("doc_id") % 5 == 0)).alias("r"),
+    ).select(
+        "doc_id",
+        F.round("r.gvi", 6).alias("gvi"),
+        F.col("r.is_panoramic").alias("is_panoramic"),
+        F.col("r.missing").alias("missing"),
+        F.col("r.error").alias("error"),
+    )
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table."""
     ev = load(spark, sf_dir, "events")
@@ -602,6 +667,27 @@ SELECT id, round(cosine, 6) AS cosine FROM (
             "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars "
             "FROM documents GROUP BY lang"
         ),
+        "edge_dedup": """
+WITH edges AS (
+  SELECT DISTINCT l_orderkey % 100 AS u, l_partkey % 97 AS v FROM lineitem)
+SELECT u, v FROM (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY least(u, v), greatest(u, v) ORDER BY u, v) AS rn
+  FROM edges
+) WHERE rn = 1""",
+        "bounds": D.with_clause(D.pages_sql())
+        + """
+SELECT round(min(x), 6) AS min_x, round(min(y), 6) AS min_y,
+       round(max(x), 6) AS max_x, round(max(y), 6) AS max_y
+FROM pages""",
+        "overlay_ratio": D.with_clause(D.points_sql(), D.grid_sql())
+        + f"""
+SELECT q.point_id,
+       round(avg(CASE WHEN g.value > 0.5 THEN 1.0 ELSE 0.0 END), 6) AS area_ratio
+FROM points q JOIN grid g
+  ON (g.cx - q.x) * (g.cx - q.x) + (g.cy - q.y) * (g.cy - q.y)
+     <= {D.ZONAL_RADIUS * D.ZONAL_RADIUS!r}
+GROUP BY q.point_id""",
         "events_window": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
             "count(*) AS n, round(sum(value), 6) AS sum_value "
@@ -656,6 +742,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_near_dup": q_cosine_near_dup,
         "text_stats": q_text_stats,
         "lang_rollup": q_lang_rollup,
+        "edge_dedup": q_edge_dedup,
+        "bounds": q_bounds,
+        "overlay_ratio": q_overlay_ratio,
+        "gvi_score_docs": q_gvi_score_docs,
         "events_window": q_events_window,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,

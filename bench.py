@@ -90,6 +90,69 @@ def bench_snap_throughput(spark: SparkSession, sf_dir: str, n_pages: int) -> tup
     return dt, n_pages / dt
 
 
+def synthetic_html_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """Pages with real html payloads (codegen-built from the pinned
+    template) — the input shape of the north-star metric."""
+    if partitions is None:
+        partitions = 4 * spark.sparkContext.defaultParallelism
+    k = F.col("id")
+    ux = ((k * F.lit(D.HX_A) + F.lit(D.HX_B)) % F.lit(D.M32)).cast("double") / F.lit(float(D.M32))
+    uy = ((k * F.lit(D.HY_A) + F.lit(D.HY_B)) % F.lit(D.M32)).cast("double") / F.lit(float(D.M32))
+    lat = F.lit(D.LAT0) + uy * F.lit(D.LAT_SPAN)
+    lon = F.lit(D.LON0) + ux * F.lit(D.LON_SPAN)
+    html = F.concat(
+        F.lit("<html><head><title>t"),
+        k.cast("string"),
+        F.lit("</title></head><body><p>page "),
+        k.cast("string"),
+        F.lit(" alpha beta gamma delta epsilon zeta"),
+        F.lit("</p><span class='geo' data-lat='"),
+        F.format_number(lat, 7),
+        F.lit("' data-lon='"),
+        F.format_number(lon, 7),
+        F.lit("'></span></body></html>"),
+    ).cast("binary")
+    return spark.range(0, n, 1, partitions).select(
+        k.alias("doc_id"),
+        F.concat(F.lit("https://example.org/p/"), k.cast("string")).alias("url"),
+        html.alias("html"),
+        (k % 5 == 0).alias("is_panoramic"),
+    )
+
+
+def bench_pipeline_throughput(
+    spark: SparkSession, sf_dir: str, n_pages: int
+) -> tuple[float, float]:
+    """The north-star workload end-to-end: html pages -> extract_text +
+    parse_coords (Arrow UDFs) -> UTM -> tile/cell (codegen) -> kNN snap
+    -> per-road reduce. Pages/sec includes the Python extraction cost."""
+    from streetview_naturevisibility_spark.geo.cells import zoom_for_radius
+    from streetview_naturevisibility_spark.geo.mercator import tile_x_col, tile_y_col
+    from streetview_naturevisibility_spark.operators.tiling import prepare_pages
+
+    zoom = zoom_for_radius(SNAP_BENCH_RADIUS, D.LAT0)
+    points = (
+        D.spark_points(spark, sf_dir)
+        .drop("tile_x", "tile_y")
+        .withColumn("tile_x", tile_x_col(F.col("lon"), zoom))
+        .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
+    )
+    raw = synthetic_html_pages(spark, n_pages)
+    pages = prepare_pages(raw, zoom=zoom, keep_text=False)
+    pages = pages.withColumn(
+        "doc_id", F.split(F.col("url"), "/").getItem(4).cast("long")
+    )
+    snapped = knn_snap(
+        points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom, key_col="doc_id"
+    )
+    t0 = time.time()
+    snapped.groupBy("road_id").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("snap_distance").alias("d")
+    ).collect()
+    dt = time.time() - t0
+    return dt, n_pages / dt
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -122,8 +185,10 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
-    snap_sec, pages_per_sec = bench_snap_throughput(spark, sf_dir, n_pages)
-    times["snap_2m_pages"] = round(snap_sec, 3)
+    snap_sec, kernel_pps = bench_snap_throughput(spark, sf_dir, n_pages)
+    times["snap_kernel_2m_pages"] = round(snap_sec, 3)
+    pipe_sec, pages_per_sec = bench_pipeline_throughput(spark, sf_dir, n_pages)
+    times["full_pipeline_2m_pages"] = round(pipe_sec, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -136,6 +201,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pages_per_sec": round(pages_per_sec),
+                "snap_kernel_pages_per_sec": round(kernel_pps),
                 "bench_pages": n_pages,
                 "cpus": int(cpus),
             }

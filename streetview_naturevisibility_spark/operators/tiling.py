@@ -5,14 +5,14 @@ The engine analog of the reference's Stage C front half
 tiles, each web page row computes its own cell id. One narrow pipeline,
 no shuffle:
 
-  scan(url, html[, warc_ts]) -> extract_text (pandas UDF)
-    -> parse_coords (pandas UDF) -> drop html  (project EARLY: binary
-       payloads never cross a shuffle)
-    -> to_utm (pandas UDF) -> tile_x/tile_y/cell_id (codegen math)
+  scan(url, html[, warc_ts]) -> fused parse_page UDF (extract_text +
+    parse_coords + UTM projection, ONE Arrow round trip; html is
+    projected away immediately after — binary payloads never cross a
+    shuffle) -> tile_x/tile_y/cell_id (codegen math)
 
-``.explain`` shows a single WholeStageCodegen span around the tile math
-with the three Arrow UDF evals inline — filters on url/warc_ts push
-down to the parquet scan below the UDFs.
+``.explain`` shows exactly one ArrowEvalPython node and a codegen span
+for the tile math; filters on url/warc_ts push down to the parquet
+scan below the UDF.
 """
 
 from __future__ import annotations
@@ -20,8 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.project import make_to_utm
-from ..functions.text import extract_text, parse_coords
+from ..functions.text import make_page_parser
 from ..geo.cells import with_cell
 
 
@@ -34,16 +33,11 @@ def prepare_pages(
     """pages(url, warc_ts, html, lang, is_panoramic) ->
     (url, warc_ts, lang, is_panoramic[, text], lon, lat, x, y,
     tile_x, tile_y, cell_id)."""
-    to_utm = make_to_utm(utm_zone)
+    parse_page = make_page_parser(utm_zone, keep_text)
 
-    df = pages_raw.withColumn("text", extract_text(F.col("html")))
-    df = df.withColumn("_ll", parse_coords(F.col("html")))
-    # project html away as early as possible (SURVEY.md §7 risk list)
+    df = pages_raw.withColumn("_p", parse_page(F.col("html")))
     keep = ["url", "warc_ts", "lang", "is_panoramic"]
     keep = [c for c in keep if c in pages_raw.columns]
-    if keep_text:
-        keep.append("text")
-    df = df.select(*keep, F.col("_ll.lon").alias("lon"), F.col("_ll.lat").alias("lat"))
-    df = df.withColumn("_xy", to_utm(F.col("lon"), F.col("lat")))
-    df = df.select("*", F.col("_xy.x").alias("x"), F.col("_xy.y").alias("y")).drop("_xy")
+    fields = (["text"] if keep_text else []) + ["lon", "lat", "x", "y"]
+    df = df.select(*keep, *[F.col(f"_p.{f}").alias(f) for f in fields])
     return with_cell(df, "lon", "lat", zoom)

@@ -73,6 +73,26 @@ def zonal_mean(points: DataFrame, grid: DataFrame, radius: float = 25.0) -> Data
     )
 
 
+def overlay_area_ratio(
+    points: DataFrame,
+    grid: DataFrame,
+    class_col: str,
+    positive_class,
+    radius: float = 25.0,
+) -> DataFrame:
+    """Vector-overlay area ratio (reference J7: canopy area within the
+    buffer / buffer area, modules/availability.py:707, 918), computed
+    discretely over the grid table: fraction of in-buffer cells whose
+    class is ``positive_class``. Same cell-center buffer semantics as
+    zonal_mean, so numerator and denominator are consistent."""
+    cand = _candidates(points, grid, radius)
+    return cand.groupBy("point_id").agg(
+        F.round(
+            F.avg((F.col(class_col) == F.lit(positive_class)).cast("double")), 6
+        ).alias("area_ratio")
+    )
+
+
 def zonal_histogram(
     points: DataFrame, grid: DataFrame, class_col: str = "class", radius: float = 25.0
 ) -> DataFrame:
