@@ -92,6 +92,37 @@ def neighbor_cells_col(tile_x: Column, tile_y: Column, zoom: int) -> Column:
     return F.array_distinct(F.array(*cells))
 
 
+def cell_parent_col(cell_id: Column, steps: int = 1) -> Column:
+    """Parent cell ``steps`` levels up the quadtree — the hierarchical
+    rollup of an S2/H3-style index (XYZ z-cells form a quadtree: parent
+    = (z-1, x>>1, y>>1)). Pure integer Column math, so multi-resolution
+    aggregations (per-neighborhood -> per-city -> per-region) are
+    cascading codegen groupBys with no re-tiling."""
+    z, x, y = unpack_cell_col(cell_id)
+    nz = z - F.lit(steps)
+    nx = (x / F.lit(1 << steps)).cast("long")
+    ny = (y / F.lit(1 << steps)).cast("long")
+    return (
+        nz.cast("long") * F.lit(1 << _Z_SHIFT).cast("long")
+        + nx * F.lit(1 << _XY_BITS).cast("long")
+        + ny
+    )
+
+
+def cell_children_py(cell_id: int) -> list[int]:
+    """The 4 child cells one level down (driver-side helper for
+    polyfill-style expansions)."""
+    z = cell_id >> _Z_SHIFT
+    rem = cell_id - (z << _Z_SHIFT)
+    x = rem >> _XY_BITS
+    y = rem - (x << _XY_BITS)
+    out = []
+    for dx in (0, 1):
+        for dy in (0, 1):
+            out.append(pack_cell_py(2 * x + dx, 2 * y + dy, z + 1))
+    return out
+
+
 def with_cell(df: DataFrame, lon: str = "lon", lat: str = "lat", zoom: int = 14) -> DataFrame:
     """Attach tile_x/tile_y/cell_id columns (pure codegen, no shuffle)."""
     from .mercator import tile_x_col, tile_y_col

@@ -94,3 +94,31 @@ class TestPolygon:
     def test_area_hexagon(self):
         hexa = regular_polygon(0.0, 0.0, 2.0, 6)
         assert polygon_area(hexa) == pytest.approx(3 * np.sqrt(3) / 2 * 4, rel=1e-9)
+
+
+class TestCellHierarchy:
+    def test_parent_child_roundtrip(self):
+        from streetview_naturevisibility_spark.geo.cells import (
+            cell_children_py,
+            pack_cell_py,
+        )
+
+        parent = pack_cell_py(100, 200, 10)
+        kids = cell_children_py(parent)
+        assert len(kids) == 4
+        assert pack_cell_py(200, 400, 11) in kids
+        assert pack_cell_py(201, 401, 11) in kids
+
+    def test_parent_col_matches_py(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from streetview_naturevisibility_spark.geo.cells import (
+            cell_parent_col,
+            pack_cell_py,
+        )
+
+        cells = [pack_cell_py(x, y, 14) for x, y in [(0, 0), (8415, 5384), (16383, 16383)]]
+        df = spark.createDataFrame(pd.DataFrame({"cell_id": cells}))
+        got = [r[0] for r in df.select(cell_parent_col(F.col("cell_id"), 2)).collect()]
+        exp = [pack_cell_py(x >> 2, y >> 2, 12) for x, y in [(0, 0), (8415, 5384), (16383, 16383)]]
+        assert got == exp

@@ -83,7 +83,6 @@ class TestPipJoin:
 class TestZonal:
     def test_zonal_mean_matches_oracle(self, spark, fixture_dir):
         roads = spark.read.parquet(os.path.join(fixture_dir, "roads.parquet"))
-        points = sample_points(roads, spacing=50).limit(0)  # schema only
         points = sample_points(roads, spacing=50)
         grid = spark.read.parquet(os.path.join(fixture_dir, "ndvi_grid.parquet"))
         got = (
