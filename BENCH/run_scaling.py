@@ -1,14 +1,18 @@
 """Scaling-efficiency evidence (BASELINE.json north rule).
 
 No real cluster exists in the sandbox, so the N->4N executor criterion
-is evidenced by running the identical snap job at local[8] and
-local[32] on the same input (driver instruction). Each level runs in a
-fresh subprocess (its own JVM) so parallelism is truly isolated.
+is evidenced by running the identical job at local[8] and local[32] on
+the same input (driver instruction). The sandbox VM (Firecracker) has
+2-5x time-varying throughput noise, so the two levels are INTERLEAVED
+(8,32,8,32,...) across rounds and the best run per level is reported —
+back-to-back runs would attribute host noise to the parallelism level.
+Each measurement runs in a fresh subprocess (its own JVM) with a
+full-size warm-up pass.
 
 Writes BENCH/BASELINE.md with pages/sec at both levels and
 efficiency = (pages/s @32) / (4 x pages/s @8).
 
-Usage: python BENCH/run_scaling.py [n_pages]
+Usage: python BENCH/run_scaling.py [n_pages] [rounds]
 """
 
 from __future__ import annotations
@@ -23,37 +27,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, {repo!r})
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 from streetview_naturevisibility_spark.session import get_spark
-from bench import bench_pipeline_throughput as bench_snap_throughput
+from bench import bench_pipeline_throughput
 
 cpus = int(sys.argv[1])
 n_pages = int(sys.argv[2])
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 spark = get_spark(app_name=f"svnv-scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus, 8))
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-# full-size warm-up (JIT + allocator reach steady state), then the
-# best of two measured runs (sandbox noise)
-bench_snap_throughput(spark, sf_dir, n_pages)
-best = None
-for _ in range(3):
-    s, p = bench_snap_throughput(spark, sf_dir, n_pages)
-    if best is None or p > best[1]:
-        best = (s, p)
-sec, pps = best
+bench_pipeline_throughput(spark, sf_dir, n_pages)  # full-size warm-up
+sec, pps = bench_pipeline_throughput(spark, sf_dir, n_pages)
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": sec, "pages_per_sec": pps}}))
 """
 
 
-def run_level(cpus: int, n_pages: int) -> dict:
+def run_once(cpus: int, n_pages: int) -> dict:
     script = _CHILD.format(repo=REPO)
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), str(n_pages)],
         capture_output=True,
         text=True,
         cwd=REPO,
-        timeout=1200,
+        timeout=1800,
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -63,9 +60,19 @@ def run_level(cpus: int, n_pages: int) -> dict:
 
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 48_000_000
-    r8 = run_level(8, n_pages)
-    r32 = run_level(32, n_pages)
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for i in range(rounds):
+        for cpus in (8, 32):
+            r = run_once(cpus, n_pages)
+            runs[cpus].append(r)
+            print(f"round {i} local[{cpus}]: {r['pages_per_sec']:,.0f} pages/s", flush=True)
+    r8 = max(runs[8], key=lambda r: r["pages_per_sec"])
+    r32 = max(runs[32], key=lambda r: r["pages_per_sec"])
     eff = r32["pages_per_sec"] / (4.0 * r8["pages_per_sec"])
+    all_runs = {
+        str(c): [round(r["pages_per_sec"]) for r in rs] for c, rs in runs.items()
+    }
     md = f"""# BENCH/BASELINE — spatial-join throughput & scaling efficiency
 
 North-rule metric: spatial-join + tile-assignment throughput (pages/sec)
@@ -79,9 +86,12 @@ distributed — never collected): fused Arrow-UDF extraction
 (extract_text + parse_coords + UTM projection in one Python round
 trip), codegen tile/cell assignment, cell-pruned kNN snap to the
 derived sample points (sf0.1 `part`, 20,000 points) at the reference's
-25 m radius, per-road aggregate. Each level runs in its own JVM with a
-full-size warm-up pass; best of 3 measured runs (the sandbox VM has
-2-5x run-to-run noise).
+25 m radius, per-road aggregate.
+
+Measurement protocol: the sandbox VM has 2-5x time-varying host noise,
+so levels are interleaved across {rounds} rounds (8,32 pairs), each run
+in a fresh JVM with a full-size warm-up, and the best run per level is
+reported. All runs (pages/s): {json.dumps(all_runs)}
 
 | parallelism | wall sec | pages/sec |
 |---|---|---|

@@ -154,6 +154,18 @@ def q_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zonal_mean(points, grid, radius=D.ZONAL_RADIUS)
 
 
+def q_zonal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal histogram (reference A9: per-class percentage strings,
+    modules/availability.py:960-969)."""
+    from streetview_naturevisibility_spark.operators.zonal import zonal_histogram
+
+    points = D.spark_points(spark, sf_dir)
+    grid = D.spark_grid(spark, sf_dir).withColumn(
+        "lc_class", (F.col("value") > 0.5).cast("int")
+    )
+    return zonal_histogram(points, grid, "lc_class", radius=D.ZONAL_RADIUS)
+
+
 def q_anti_join_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resume semantics: input MINUS already-done ids as a left-anti
     join (reference S6/S10 resume, SURVEY.md §2.3)."""
@@ -551,6 +563,20 @@ SELECT q.point_id, round(avg(greatest(g.value, 0.0)), 3) AS mean_ndvi
 FROM points q JOIN grid g
   ON (g.cx - q.x) * (g.cx - q.x) + (g.cy - q.y) * (g.cy - q.y) <= {r2!r}
 GROUP BY q.point_id""",
+        "zonal_histogram": D.with_clause(D.points_sql(), D.grid_sql())
+        + f"""
+, counts AS (
+  SELECT q.point_id,
+         CASE WHEN g.value > 0.5 THEN 1 ELSE 0 END AS lc_class,
+         count(*) AS n
+  FROM points q JOIN grid g
+    ON (g.cx - q.x) * (g.cx - q.x) + (g.cy - q.y) * (g.cy - q.y)
+       <= {D.ZONAL_RADIUS * D.ZONAL_RADIUS!r}
+  GROUP BY 1, 2),
+totals AS (SELECT point_id, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY 1)
+SELECT c.point_id, c.lc_class, CAST(c.n AS BIGINT) AS cell_count,
+       CAST(round(c.n * 100.0 / t.total, 3) AS VARCHAR) || '%' AS pct
+FROM counts c JOIN totals t ON c.point_id = t.point_id""",
         "anti_join_resume": D.with_clause(D.points_sql())
         + """
 SELECT point_id, road_id FROM points
@@ -726,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top5_highways": q_top5_highways,
         "pip_hexagon": q_pip_hexagon,
         "zonal_mean": q_zonal_mean,
+        "zonal_histogram": q_zonal_histogram,
         "anti_join_resume": q_anti_join_resume,
         "union_dedup": q_union_dedup,
         "validity_filter": q_validity_filter,
