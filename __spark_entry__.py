@@ -348,6 +348,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk_lsh(emb, _query_vector(spark, sf_dir), k=10, n_planes=6)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (k-means coarse quantizer + probed lists;
+    rows-only: pytest asserts cosines are exact and rank-1 is the query
+    vector)."""
+    from streetview_naturevisibility_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _query_vector(spark, sf_dir), k=10, n_lists=8, n_probe=2)
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane buckets
     (rows-only; pytest asserts engine pairs ⊆ exact pairs)."""
@@ -766,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "sim_topk": q_sim_topk,
         "ann_lsh": q_ann_lsh,
+        "ivf_topk": q_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
         "text_stats": q_text_stats,
         "lang_rollup": q_lang_rollup,

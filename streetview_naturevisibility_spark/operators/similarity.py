@@ -101,6 +101,83 @@ def ann_topk_lsh(
     )
 
 
+def kmeans_fit(
+    vectors: np.ndarray, k: int, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means (NumPy, driver-side) — the coarse
+    quantizer for the IVF index. Fits on a bounded sample."""
+    rng = np.random.RandomState(seed)
+    centroids = vectors[rng.choice(len(vectors), size=k, replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((vectors[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            mask = assign == c
+            if mask.any():
+                centroids[c] = vectors[mask].mean(axis=0)
+    return centroids
+
+
+def make_ivf_assign_udf(centroids: np.ndarray):
+    """list id of the nearest centroid per vector (one matmul/batch)."""
+
+    @F.pandas_udf(IntegerType())
+    def ivf_assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int32)
+        mat = np.stack(vecs.map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        d2 = (
+            (mat**2).sum(axis=1, keepdims=True)
+            - 2.0 * mat @ centroids.T
+            + (centroids**2).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    return ivf_assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 2000,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer (fit driver-side
+    on a bounded deterministic sample), vectors partitioned into
+    inverted lists by nearest centroid, queries scan only the
+    ``n_probe`` nearest lists with exact cosine inside.
+
+    Scale path: the assignment is computed once and stored as a
+    partition/cluster column; a query then prunes to n_probe/n_lists of
+    the data (Catalyst partition pruning when the list id is a
+    partition key)."""
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).orderBy(id_col).limit(train_sample).collect()
+        ]
+    )
+    centroids = kmeans_fit(sample, min(n_lists, len(sample)), seed=seed)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(qd)[:n_probe]]
+
+    assign = make_ivf_assign_udf(centroids)
+    lists = df.withColumn("_list", assign(F.col(vec_col)))
+    cand = lists.where(F.col("_list").isin(probe))
+    return (
+        cand.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

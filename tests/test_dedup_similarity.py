@@ -159,3 +159,30 @@ class TestTextops:
         pd.testing.assert_frame_equal(a, b)
         assert ((a["quality_score"] >= 0) & (a["quality_score"] <= 1)).all()
         assert (a["n_tokens"] > 0).all()
+
+
+class TestIVF:
+    def test_ivf_topk_contains_query_and_valid_cosines(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 7).first().embedding)
+        got = similarity.ivf_topk(emb, q, k=10, n_lists=8, n_probe=2).toPandas()
+        # the query's own vector lives in the nearest list -> rank 1
+        assert got["id"].iloc[0] == 7
+        assert got["cosine"].iloc[0] == pytest.approx(1.0, abs=1e-6)
+        # reported cosines are the true cosines
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        ids = pdf["vec_id"].to_numpy()
+        idx = {v: i for i, v in enumerate(ids)}
+        qv = np.asarray(q)
+        for r in got.itertuples():
+            v = mat[idx[r.id]]
+            true_cos = float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+            assert abs(true_cos - r.cosine) < 1e-5
+
+    def test_ivf_deterministic(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 7).first().embedding)
+        a = similarity.ivf_topk(emb, q, k=5).toPandas()
+        b = similarity.ivf_topk(emb.repartition(9), q, k=5).toPandas()
+        assert a["id"].tolist() == b["id"].tolist()
