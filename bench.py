@@ -156,7 +156,7 @@ def bench_pipeline_throughput(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "2000000"))
+    n_pages = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "8000000"))
     spark = get_spark(app_name="svnv-bench", master=f"local[{cpus}]",
                       shuffle_partitions=max(int(cpus), 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -186,9 +186,9 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     snap_sec, kernel_pps = bench_snap_throughput(spark, sf_dir, n_pages)
-    times["snap_kernel_2m_pages"] = round(snap_sec, 3)
+    times["snap_kernel_pages"] = round(snap_sec, 3)
     pipe_sec, pages_per_sec = bench_pipeline_throughput(spark, sf_dir, n_pages)
-    times["full_pipeline_2m_pages"] = round(pipe_sec, 3)
+    times["full_pipeline_pages"] = round(pipe_sec, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
