@@ -35,6 +35,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+import numpy as np
+import pandas as pd
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
 from ..geo.cells import neighbor_cells_col
 
 
@@ -140,6 +151,87 @@ def knn_snap(
         out.withColumn(out_key, F.coalesce(F.col("best.url"), miss_key))
         .withColumn("snap_distance", F.col("best.dist"))
         # reference: is_panoramic astype(bool) maps None -> False
+        .withColumn("is_panoramic", F.coalesce(F.col("best.pano"), F.lit(False)))
+        .drop("best")
+    )
+
+
+_GROUPED_BEST = StructType(
+    [
+        StructField("point_id", LongType()),
+        StructField("_dist", DoubleType()),
+        StructField("_url", StringType()),
+        StructField("_pano", BooleanType()),
+    ]
+)
+
+
+def knn_snap_grouped(
+    points: DataFrame,
+    pages: DataFrame,
+    max_distance: float = 50.0,
+    zoom: int = 14,
+) -> DataFrame:
+    """The grouped-map form of the snap join (SURVEY.md J1 option (b)):
+    shuffle candidate pairs by cell, run a vectorized NumPy reduce per
+    cell inside ``applyInPandas`` (the engine twin of the reference's
+    per-tile cKDTree batching, osmnx_road_network.py:98-137), then a
+    global min re-reduce across the 3x3 cells each point probed.
+
+    Numerically identical to ``knn_snap`` (tested); exists because some
+    per-group kernels genuinely need imperative NumPy (e.g. a true
+    KD-tree for k>1, per-cell models) — this is the pattern to copy.
+    """
+    bound = max_distance / 2.0
+
+    cand_points = F.broadcast(
+        points.select(
+            "point_id",
+            F.col("x").alias("_px"),
+            F.col("y").alias("_py"),
+            F.explode(
+                neighbor_cells_col(F.col("tile_x"), F.col("tile_y"), zoom)
+            ).alias("cell_id"),
+        )
+    )
+    pairs = pages.select(
+        "cell_id",
+        F.col("url").alias("_url"),
+        F.col("x").alias("_qx"),
+        F.col("y").alias("_qy"),
+        F.col("is_panoramic").alias("_pano"),
+    ).join(cand_points, "cell_id")
+
+    def _cell_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = np.hypot(
+            pdf["_px"].to_numpy() - pdf["_qx"].to_numpy(),
+            pdf["_py"].to_numpy() - pdf["_qy"].to_numpy(),
+        )
+        pdf = pdf.assign(_dist=d)
+        pdf = pdf[pdf["_dist"] <= bound]
+        if pdf.empty:
+            return pd.DataFrame(columns=["point_id", "_dist", "_url", "_pano"])
+        best = (
+            pdf.sort_values(["point_id", "_dist", "_url"], kind="mergesort")
+            .groupby("point_id", as_index=False)
+            .first()
+        )
+        return best[["point_id", "_dist", "_url", "_pano"]]
+
+    per_cell = pairs.groupBy("cell_id").applyInPandas(_cell_kernel, _GROUPED_BEST)
+    best = per_cell.groupBy("point_id").agg(
+        F.min(
+            F.struct(
+                F.col("_dist").alias("dist"),
+                F.col("_url").alias("url"),
+                F.col("_pano").alias("pano"),
+            )
+        ).alias("best")
+    )
+    out = points.join(F.broadcast(best), "point_id", "left")
+    return (
+        out.withColumn("page_url", F.coalesce(F.col("best.url"), F.lit("")))
+        .withColumn("snap_distance", F.col("best.dist"))
         .withColumn("is_panoramic", F.coalesce(F.col("best.pano"), F.lit(False)))
         .drop("best")
     )

@@ -48,6 +48,37 @@ def windowed_counts(
     )
 
 
+def stream_dedup_events(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    key: str = "event_id",
+    watermark: str = "2 hours",
+) -> None:
+    """Stateful streaming dedup: drop duplicate keys across micro-batches
+    (state bounded by the event-time watermark). The streaming twin of
+    the batch dedup-by-id (reference O4) for continuously-appended
+    shards."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates([key, "ts"])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_events_availablenow(
     spark: SparkSession,
     events_path: str,

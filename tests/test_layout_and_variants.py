@@ -1,0 +1,126 @@
+"""Physical layout (partition pruning, bucketed joins) + operator
+variants (grouped-map kNN, streaming dedup)."""
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.operators.knn import knn_snap, knn_snap_grouped
+from streetview_naturevisibility_spark.operators.sampling import sample_points
+from streetview_naturevisibility_spark.operators.tiling import prepare_pages
+from streetview_naturevisibility_spark.sources.layout import (
+    read_bucketed,
+    read_cell_partitioned,
+    write_bucketed,
+    write_cell_partitioned,
+)
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    return buf.getvalue()
+
+
+class TestCellPartitioning:
+    def test_partition_pruning(self, spark, fixture_dir, tmp_path):
+        pages = prepare_pages(
+            spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet")).drop(
+                "lon", "lat"
+            ),
+            keep_text=False,
+        )
+        path = str(tmp_path / "pages_part")
+        write_cell_partitioned(pages, path, coarse_steps=4)
+
+        all_cells = [
+            r.coarse_cell
+            for r in spark.read.parquet(path).select("coarse_cell").distinct().collect()
+        ]
+        assert len(all_cells) >= 2
+        one = all_cells[0]
+        pruned = read_cell_partitioned(spark, path, [one])
+        plan = _plan(pruned)
+        assert "PartitionFilters" in plan
+        # pruning is lossless
+        assert (
+            pruned.count()
+            == spark.read.parquet(path).where(F.col("coarse_cell") == one).count()
+        )
+
+    def test_total_preserved(self, spark, fixture_dir, tmp_path):
+        pages = prepare_pages(
+            spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet")).drop(
+                "lon", "lat"
+            ),
+            keep_text=False,
+        )
+        path = str(tmp_path / "pages_part2")
+        write_cell_partitioned(pages, path)
+        assert spark.read.parquet(path).count() == 500
+
+
+class TestBucketedJoin:
+    def test_bucketed_join_has_no_exchange(self, spark, tmp_path):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.range(10000).select(
+                F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+            )
+            b = spark.range(10000).select(
+                F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+            )
+            write_bucketed(a, "bt_a", "k", buckets=8)
+            write_bucketed(b, "bt_b", "k", buckets=8)
+            joined = read_bucketed(spark, "bt_a").join(read_bucketed(spark, "bt_b"), "k")
+            plan = _plan(joined)
+            phys = plan.split("== Physical Plan ==")[-1]
+            assert "Exchange" not in phys  # co-located: zero shuffles
+            assert joined.count() == 10000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+            spark.sql("DROP TABLE IF EXISTS bt_a")
+            spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+class TestGroupedKnnVariant:
+    def test_identical_to_join_reduce(self, spark, fixture_dir):
+        roads = spark.read.parquet(os.path.join(fixture_dir, "roads.parquet"))
+        pages_raw = spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet"))
+        points = sample_points(roads, spacing=50)
+        pages = prepare_pages(pages_raw.drop("lon", "lat"), keep_text=False)
+        a = knn_snap(points, pages, max_distance=50.0).orderBy("point_id").toPandas()
+        g = (
+            knn_snap_grouped(points, pages, max_distance=50.0)
+            .orderBy("point_id")
+            .toPandas()
+        )
+        assert (a["page_url"].to_numpy() == g["page_url"].to_numpy()).all()
+        da = a["snap_distance"].to_numpy(dtype=float)
+        dg = g["snap_distance"].to_numpy(dtype=float)
+        assert (np.isnan(da) == np.isnan(dg)).all()
+        assert np.allclose(da[~np.isnan(da)], dg[~np.isnan(dg)])
+
+
+class TestStreamDedup:
+    def test_duplicates_dropped_across_batches(self, spark, tmp_path):
+        from streetview_naturevisibility_spark.streaming.events import (
+            stream_dedup_events,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+        src = str(tmp_path / "src")
+        events.write.mode("overwrite").parquet(src)
+        # second file duplicates half the events (resume-with-overlap)
+        events.limit(100).write.mode("append").parquet(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stream_dedup_events(spark, src, out, ckpt)
+        got = spark.read.parquet(out)
+        assert got.count() == got.select("event_id").distinct().count()
