@@ -124,3 +124,37 @@ class TestStreamDedup:
         stream_dedup_events(spark, src, out, ckpt)
         got = spark.read.parquet(out)
         assert got.count() == got.select("event_id").distinct().count()
+
+
+class TestSkewSalting:
+    def test_hot_cells_detected_and_salted(self, spark):
+        # 10k rows in one cell, 50 in another
+        big = spark.range(10000).select(
+            F.lit(111).alias("cell_id"),
+            F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"),
+        )
+        small = spark.range(50).select(
+            F.lit(222).alias("cell_id"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("url"),
+        )
+        df = big.unionByName(small)
+        from streetview_naturevisibility_spark.operators.skew import (
+            hot_cells,
+            salt_hot_cells,
+        )
+
+        hc = hot_cells(df, threshold=1000).collect()
+        assert [r.cell_id for r in hc] == [111]
+        salted = salt_hot_cells(df, threshold=1000, salt=8)
+        dist = (
+            salted.groupBy("cell_id", "salt")
+            .count()
+            .orderBy("cell_id", "salt")
+            .collect()
+        )
+        hot_groups = [r for r in dist if r.cell_id == 111]
+        cold_groups = [r for r in dist if r.cell_id == 222]
+        assert len(hot_groups) == 8  # split into 8 bounded sub-groups
+        assert max(r["count"] for r in hot_groups) < 10000 * 0.25
+        assert len(cold_groups) == 1 and cold_groups[0].salt == 0
+        assert salted.count() == 10050  # no rows gained/lost
