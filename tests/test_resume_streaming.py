@@ -107,3 +107,27 @@ class TestStreaming:
         stream_events_availablenow(spark, src, out, ckpt)
         n2 = spark.read.parquet(out).agg(F.sum("n")).collect()[0][0]
         assert n2 == n1
+
+    def test_partial_write_without_success_recomputes(self, spark, tmp_path):
+        """Kill-mid-stage semantics: a stage directory with data files
+        but no _SUCCESS marker is treated as absent (parquet commit is
+        all-or-nothing), so the rerun recomputes and overwrites."""
+        import glob
+        import os as _os
+
+        root = str(tmp_path / "ckpt3")
+        data_path = _os.path.join(root, "s", "data")
+        run_stage(spark, root, "s", lambda: spark.range(100))
+        # simulate a killed write: remove the marker, corrupt row count
+        _os.remove(_os.path.join(data_path, "_SUCCESS"))
+        calls = {"n": 0}
+
+        def rebuild():
+            calls["n"] += 1
+            return spark.range(200)
+
+        out = run_stage(spark, root, "s", rebuild)
+        assert calls["n"] == 1  # recomputed
+        assert out.count() == 200
+        # and the marker is back for the next resume
+        assert _os.path.exists(_os.path.join(data_path, "_SUCCESS"))
