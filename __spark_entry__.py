@@ -148,6 +148,21 @@ def q_pip_hexagon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup: per-coarse-cell page counts computed by
+    walking the quadtree UP from z14 cells (geo/cells.cell_parent_col).
+    The oracle computes z10 tiles independently from lon/lat — the two
+    must agree exactly (floor(x/2^4) of a z14 tile == the z10 tile)."""
+    from streetview_naturevisibility_spark.geo.cells import cell_parent_col
+
+    pages = D.spark_pages(spark, sf_dir)
+    return (
+        pages.withColumn("coarse_cell", cell_parent_col(F.col("cell_id"), 4))
+        .groupBy("coarse_cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
 def q_zonal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     points = D.spark_points(spark, sf_dir)
     grid = D.spark_grid(spark, sf_dir)
@@ -567,6 +582,10 @@ FROM g1 GROUP BY highway ORDER BY total_null DESC, highway LIMIT 5"""
         "pip_hexagon": pages_only(
             f"SELECT lang, count(*) AS n_pages FROM pages WHERE {hex_pred} GROUP BY lang"
         ),
+        "cell_rollup": pages_only(
+            "SELECT (CAST(10 AS BIGINT) * 288230376151711744 + CAST(CAST(least(greatest(floor(((lon)/360.0 + 0.5) * 1024.0), 0), 1023) AS INTEGER) AS BIGINT) * 536870912 + CAST(CAST(least(greatest(floor((0.5 - (ln((tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) + sqrt((tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))))*(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) + 1.0)))/6.283185307179586) * 1024.0), 0), 1023) AS INTEGER) AS BIGINT)) AS coarse_cell, "
+            "count(*) AS n_pages FROM pages GROUP BY 1"
+        ),
         "zonal_mean": D.with_clause(D.points_sql(), D.grid_sql())
         + f"""
 SELECT q.point_id, round(avg(greatest(g.value, 0.0)), 3) AS mean_ndvi
@@ -761,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highway_rollup": q_highway_rollup,
         "top5_highways": q_top5_highways,
         "pip_hexagon": q_pip_hexagon,
+        "cell_rollup": q_cell_rollup,
         "zonal_mean": q_zonal_mean,
         "zonal_histogram": q_zonal_histogram,
         "anti_join_resume": q_anti_join_resume,

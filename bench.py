@@ -185,8 +185,11 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
+    # warm-up pass each (JIT + Python workers), then the timed run
+    bench_snap_throughput(spark, sf_dir, n_pages)
     snap_sec, kernel_pps = bench_snap_throughput(spark, sf_dir, n_pages)
     times["snap_kernel_pages"] = round(snap_sec, 3)
+    bench_pipeline_throughput(spark, sf_dir, n_pages)
     pipe_sec, pages_per_sec = bench_pipeline_throughput(spark, sf_dir, n_pages)
     times["full_pipeline_pages"] = round(pipe_sec, 3)
 
