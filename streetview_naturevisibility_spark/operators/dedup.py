@@ -130,20 +130,38 @@ def minhash_lsh_pairs(
     return verified
 
 
+def fnv1a64_vec(tokens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit (masked column sweep over the padded
+    token byte matrix — same trick as functions/text.fnv1a32)."""
+    from ..functions.text import _token_byte_matrix
+
+    mat = _token_byte_matrix(
+        np.array([t.encode("utf-8") for t in tokens], dtype=object)
+    )
+    n = mat.shape[0]
+    h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(mat.shape[1]):
+            col = mat[:, j].astype(np.uint64)
+            live = col != 0
+            upd = (h ^ col) * prime
+            h = np.where(live, upd, h)
+    return h
+
+
 def simhash_kernel(texts: pd.Series, bits: int = 64) -> pd.Series:
-    """Vectorized SimHash: per-bit majority vote over FNV-ish token
-    hashes (NumPy bit-parallel)."""
+    """Vectorized SimHash: per-bit majority vote over FNV-64 token
+    hashes (NumPy bit-parallel; one fnv1a64_vec call per document's
+    distinct tokens)."""
     out = np.zeros(len(texts), dtype=np.int64)
+    shifts = np.arange(bits, dtype=np.uint64)
     for i, t in enumerate(texts):
         if not t:
             continue
         toks = np.unique(np.array(t.split(" "), dtype=object))
-        hs = np.array(
-            [np.uint64(abs(hash_str64(tok))) for tok in toks], dtype=np.uint64
-        )
-        bitmat = ((hs[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int32
-        )
+        hs = fnv1a64_vec(toks)
+        bitmat = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
         votes = bitmat.sum(axis=0) * 2 - len(hs)
         sig = np.uint64(0)
         for j in range(bits):
