@@ -1,0 +1,89 @@
+"""Incremental pages ingest: maintain the kNN snap result as new pages
+stream in.
+
+The k=1 snap is an associative min-reduce, so the streaming form is
+incremental view maintenance: each micro-batch computes its own
+best-per-point against the static points table, then folds into the
+stored state with one more min — the result after any prefix of batches
+equals the batch pipeline over all pages seen (tested). Implemented
+with ``foreachBatch`` (the standard pattern when the per-batch logic is
+a full DataFrame pipeline) + AvailableNow so catch-up runs terminate.
+
+This is the engine's continuous-crawl story: a Common-Crawl dump lands
+as new parquet files; the per-point assignments and downstream per-road
+aggregates refresh incrementally without rescanning history.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.knn import knn_snap
+
+
+def _fold_best(
+    spark: SparkSession, new_best: DataFrame, state_path: str
+) -> None:
+    """state = min(state, new_best) per point (associative)."""
+    cols = ["point_id", "page_url", "snap_distance", "is_panoramic"]
+    new_best = new_best.select(*cols)
+    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
+        old = spark.read.parquet(state_path).select(*cols)
+        both = old.unionByName(new_best)
+    else:
+        both = new_best
+    # min over (dist, url): misses carry null dist -> lose to any hit
+    folded = (
+        both.withColumn(
+            "_k",
+            F.struct(
+                F.coalesce(F.col("snap_distance"), F.lit(float("inf"))).alias("d"),
+                F.col("page_url").alias("u"),
+                F.col("is_panoramic").alias("p"),
+            ),
+        )
+        .groupBy("point_id")
+        .agg(F.min("_k").alias("_k"))
+        .select(
+            "point_id",
+            F.col("_k.u").alias("page_url"),
+            F.when(F.col("_k.d") == float("inf"), F.lit(None)).otherwise(F.col("_k.d")).alias("snap_distance"),
+            F.col("_k.p").alias("is_panoramic"),
+        )
+    )
+    # stage the fold, then atomically replace the state
+    tmp = state_path + "__next"
+    folded.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(state_path)
+
+
+def stream_snap_pages(
+    spark: SparkSession,
+    pages_dir: str,
+    points: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    max_distance: float = 50.0,
+    zoom: int = 14,
+) -> None:
+    """Stream new page files, fold each micro-batch into the snap state."""
+    schema = spark.read.parquet(pages_dir).schema
+    points = points.cache()
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        snapped = knn_snap(points, batch, max_distance=max_distance, zoom=zoom)
+        _fold_best(spark, snapped, state_path)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(pages_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
