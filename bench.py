@@ -138,10 +138,9 @@ def bench_pipeline_throughput(
         .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
     )
     raw = synthetic_html_pages(spark, n_pages)
+    # doc_id flows through prepare_pages — never re-derive keys from
+    # strings in the hot path
     pages = prepare_pages(raw, zoom=zoom, keep_text=False)
-    pages = pages.withColumn(
-        "doc_id", F.split(F.col("url"), "/").getItem(4).cast("long")
-    )
     snapped = knn_snap(
         points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom, key_col="doc_id"
     )

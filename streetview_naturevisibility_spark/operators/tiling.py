@@ -36,7 +36,7 @@ def prepare_pages(
     parse_page = make_page_parser(utm_zone, keep_text)
 
     df = pages_raw.withColumn("_p", parse_page(F.col("html")))
-    keep = ["url", "warc_ts", "lang", "is_panoramic"]
+    keep = ["doc_id", "url", "warc_ts", "lang", "is_panoramic"]
     keep = [c for c in keep if c in pages_raw.columns]
     fields = (["text"] if keep_text else []) + ["lon", "lat", "x", "y"]
     df = df.select(*keep, *[F.col(f"_p.{f}").alias(f) for f in fields])
