@@ -80,33 +80,37 @@ def token_count_col(text_col: str, mode: str = "whitespace"):
 
 def _fingerprint_kernel(texts: pd.Series, window: int = 8) -> pd.Series:
     """Winnowing-style fingerprint: min rolling Rabin-Karp hash over
-    token windows (documents sharing long runs collide)."""
+    token windows (documents sharing long runs collide). Fully
+    vectorized: one batched FNV-64 over all tokens, then a
+    sliding-window matmul per document (uint64 wraparound semantics)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from .dedup import fnv1a64_vec
+
     B = np.uint64(1000003)
     out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        toks = t.split(" ")
-        hs = np.empty(len(toks), dtype=np.uint64)
-        for j, tok in enumerate(toks):
-            h = np.uint64(14695981039346656037)
-            for byte in tok.encode("utf-8"):
-                h = (h ^ np.uint64(byte)) * np.uint64(1099511628211)
-            hs[j] = h
-        if len(hs) < window:
-            win = hs
-            acc = np.uint64(0)
-            for h in win:
-                acc = acc * B + h
-            out[i] = np.int64(acc.astype(np.int64))
-            continue
-        # rolling combine over windows, take min (shift-invariant)
-        n_win = len(hs) - window + 1
-        accs = np.zeros(n_win, dtype=np.uint64)
-        powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
-        for w in range(n_win):
-            accs[w] = np.dot(hs[w : w + window], powers)
-        out[i] = np.int64(accs.min().astype(np.int64))
+    token_lists = [t.split(" ") if t else [] for t in texts]
+    lengths = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    if lengths.sum() == 0:
+        return pd.Series(out)
+    flat = np.concatenate([np.array(t, dtype=object) for t in token_lists if t])
+    all_hs = fnv1a64_vec(flat)
+    bounds = np.concatenate([[0], np.cumsum(lengths)])
+    powers = B ** np.arange(window - 1, -1, -1, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(len(token_lists)):
+            hs = all_hs[bounds[i] : bounds[i + 1]]
+            if len(hs) == 0:
+                continue
+            if len(hs) < window:
+                acc = np.uint64(0)
+                for h in hs:
+                    acc = acc * B + h
+                out[i] = np.int64(acc.astype(np.int64))
+                continue
+            mat = sliding_window_view(hs, window)
+            accs = mat @ powers  # uint64 wraparound (C semantics)
+            out[i] = np.int64(accs.min().astype(np.int64))
     return pd.Series(out)
 
 
