@@ -58,14 +58,18 @@ def unavailable_images_per_highway(intersection: DataFrame) -> DataFrame:
     ``total_null`` actually counts points with NON-null image ids
     (the naming bug documented in SURVEY.md A2) — the computation, not
     the name, is reproduced: count(page_url IS NOT NULL)."""
-    total = intersection.count()
+    # the grand total joins in as a lazy broadcast 1-row aggregate so
+    # the whole metric stays one DAG (no eager .count() driver action)
+    total = intersection.agg(F.count(F.lit(1)).cast("double").alias("_total"))
     grouped = intersection.groupBy("road_id", "highway").agg(
         F.sum(F.col("page_url").isNotNull().cast("long")).alias("total_null")
     )
     return (
         grouped.groupBy("highway")
         .agg(F.sum("total_null").alias("total_null"))
-        .withColumn("proportion_null", F.col("total_null") / F.lit(float(total)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("proportion_null", F.col("total_null") / F.col("_total"))
+        .drop("_total")
         .orderBy(F.desc("total_null"))
     )
 

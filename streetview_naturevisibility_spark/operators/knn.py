@@ -16,7 +16,8 @@ Engine plan (Spark-first, 100 TB-ready):
    pages table is **never shuffled**: broadcast hash join streams it
    once, and Catalyst pushes the cell-id computation into the scan
    stage (whole-stage codegen, no UDF).
-3. Planar distance filter ``dist <= bound`` prunes immediately.
+3. Planar distance filter ``dist < bound`` prunes immediately (strict,
+   matching cKDTree's open ``distance_upper_bound``).
 4. k=1 reduce as ``groupBy(point_id).agg(min(struct(dist, url, ...)))``
    — struct ordering gives (distance, url) total-order tie-breaking and,
    crucially, **partial (map-side) aggregation**: a hot urban cell with
@@ -57,9 +58,11 @@ def knn_snap(
     salt: int | None = None,
     broadcast_points: bool = True,
     key_col: str = "url",
-    reduce: str = "sort_exact",
+    reduce: str = "two_phase",
 ) -> DataFrame:
-    """Snap each point to its nearest page within ``max_distance/2``.
+    """Snap each point to its nearest page within ``max_distance/2``
+    (strictly: cKDTree's ``distance_upper_bound`` accepts only
+    distances < bound, osmnx_road_network.py:137 — mirrored here).
 
     ``points`` needs (point_id, x, y, tile_x, tile_y); ``pages`` needs
     (key_col, x, y, is_panoramic, cell_id). x/y must be planar meters in
@@ -103,7 +106,8 @@ def knn_snap(
     cand = (
         pages_side.join(cand_points, "cell_id")
         .withColumn("_dist", dist)
-        .where(F.col("_dist") <= F.lit(bound))
+        # strict <: cKDTree's distance_upper_bound is an open bound
+        .where(F.col("_dist") < F.lit(bound))
         .select("point_id", "_dist", "_url", "_pano")
     )
 
@@ -113,15 +117,17 @@ def knn_snap(
         F.col("_pano").alias("pano"),
     )
     if reduce == "two_phase":
-        # HashAggregate-friendly exact reduce: min(struct) has no
-        # mutable primitive buffer, so Spark falls back to
-        # SortAggregate — fine when the post-filter candidate set is
-        # sparse, but a per-partition sort of ALL candidates in dense
-        # regions. Two-phase instead: (1) min(dist) per point — pure
-        # primitive, hash partial+final; (2) min(struct) only over the
-        # rows matching the winning distance (>=1 per point, ~1 in
-        # practice). The candidate set is persisted so the pages scan
-        # happens exactly once.
+        # The DEFAULT reduce. min(struct) has no mutable primitive
+        # buffer, so Spark falls back to SortAggregate — fine when the
+        # post-filter candidate set is sparse, but a per-partition sort
+        # of ALL candidates in dense regions. Two-phase instead:
+        # (1) min(dist) per point — pure primitive, hash partial+final;
+        # (2) min(struct) only over the rows matching the winning
+        # distance (>=1 per point, ~1 in practice). The candidate set
+        # is persisted so the pages scan happens exactly once (callers
+        # issuing many independent snaps in one long-lived session —
+        # e.g. streaming micro-batches — should pass
+        # reduce="sort_exact" to avoid unbounded cache accumulation).
         cand = cand.persist()
         md = cand.groupBy("point_id").agg(F.min("_dist").alias("_md"))
         best = (
@@ -208,7 +214,7 @@ def knn_snap_grouped(
             pdf["_py"].to_numpy() - pdf["_qy"].to_numpy(),
         )
         pdf = pdf.assign(_dist=d)
-        pdf = pdf[pdf["_dist"] <= bound]
+        pdf = pdf[pdf["_dist"] < bound]
         if pdf.empty:
             return pd.DataFrame(columns=["point_id", "_dist", "_url", "_pano"])
         best = (

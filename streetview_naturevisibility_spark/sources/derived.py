@@ -248,7 +248,7 @@ cand AS (
   JOIN pages p
     ON p.stile_x BETWEEN q.tile_x - 1 AND q.tile_x + 1
    AND p.stile_y BETWEEN q.tile_y - 1 AND q.tile_y + 1
-  WHERE sqrt((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)) <= {SNAP_RADIUS!r}
+  WHERE sqrt((q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y)) < {SNAP_RADIUS!r}
 ),
 best AS (
   SELECT * FROM (

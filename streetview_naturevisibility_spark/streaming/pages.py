@@ -75,7 +75,13 @@ def stream_snap_pages(
     points = points.cache()
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        snapped = knn_snap(points, batch, max_distance=max_distance, zoom=zoom)
+        # sort_exact: the default two_phase reduce persists its
+        # candidate set, which would accumulate one cached RDD per
+        # micro-batch in a long-lived stream; batches are small, so the
+        # SortAggregate fallback is the right trade here.
+        snapped = knn_snap(
+            points, batch, max_distance=max_distance, zoom=zoom, reduce="sort_exact"
+        )
         _fold_best(spark, snapped, state_path)
 
     q = (

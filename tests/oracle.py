@@ -62,7 +62,8 @@ def oracle_knn_snap(
         # cKDTree ties are index-order — fixtures have no exact ties.
         j = int(np.lexsort((urls, np.sqrt(d2)))[0])
         dist = float(np.sqrt(d2[j]))
-        if dist <= bound:
+        # strict <, like cKDTree's open distance_upper_bound
+        if dist < bound:
             out_url.append(urls[j])
             out_dist.append(dist)
             out_pano.append(bool(pano[j]))
