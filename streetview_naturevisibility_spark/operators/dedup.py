@@ -14,11 +14,16 @@ Four families, all Spark-first:
   array_intersect/array_distinct (JVM-side).
 
 Scale notes: candidate generation is the only shuffle (by band/bucket
-key); verification joins texts back by doc id. Band buckets with a
-single member are dropped before the self-join (the classic LSH
-pruning), so skew from boilerplate-heavy buckets is bounded by
-``max_bucket`` with an explicit cap + log-and-drop (no silent cap:
-dropped buckets are counted in the returned metrics when requested).
+key); verification joins texts back by doc id. Every bucket self-join
+routes through ``_cap_buckets``: singleton buckets are dropped (classic
+LSH pruning) and buckets larger than ``max_bucket`` are dropped
+entirely — the self-join is quadratic in bucket size, so one
+boilerplate bucket with 10^6 members would otherwise emit 10^12
+candidate pairs. The cap is log-and-drop, never silent: pass
+``return_metrics=True`` to also get a lazy 1-row DataFrame counting
+total/dropped buckets and dropped members. Documents whose only
+collisions lived in dropped buckets are exact/boilerplate-duplicate
+territory — `exact_dedup` (a linear groupBy) owns that case.
 """
 
 from __future__ import annotations
@@ -48,6 +53,35 @@ def shingles_col(text_col: str, n: int = 3):
     idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     return F.array_distinct(sh)
+
+
+def _cap_buckets(
+    buckets: DataFrame, keys: list[str], max_bucket: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Bound the quadratic bucket self-join: drop singleton buckets
+    (they emit no pairs) and buckets above ``max_bucket`` (skew cap —
+    boilerplate/empty-text buckets at web scale hold millions of
+    members; their pairs are exact-dup territory, not near-dup).
+
+    Returns (capped_buckets, metrics) where metrics is a LAZY 1-row
+    DataFrame (n_buckets, dropped_buckets, dropped_members) — no silent
+    caps. The size filter joins on the same bucket key the self-join
+    shuffles on, so AQE co-partitions it for free; no broadcast (the
+    bucket dimension is unbounded at 100 TB).
+    """
+    sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    over = (
+        F.lit(False) if max_bucket is None else F.col("_bsz") > F.lit(int(max_bucket))
+    )
+    metrics = sizes.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.sum(F.when(over, F.col("_bsz")).otherwise(F.lit(0))), F.lit(0)).alias(
+            "dropped_members"
+        ),
+    )
+    keep = sizes.where((F.col("_bsz") >= 2) & ~over).select(*keys)
+    return buckets.join(keep, keys), metrics
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -86,9 +120,13 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     jaccard_threshold: float = 0.5,
+    max_bucket: int | None = 10_000,
+    return_metrics: bool = False,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact token-shingle
-    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b."""
+    Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b; with
+    ``return_metrics`` also the lazy drop-metrics frame (see
+    ``_cap_buckets``)."""
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, n)
     band_cols = []
@@ -100,6 +138,7 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    buckets, metrics = _cap_buckets(buckets, ["band", "bh"], max_bucket)
 
     a = buckets.alias("a")
     b_ = buckets.alias("b")
@@ -127,7 +166,7 @@ def minhash_lsh_pairs(
         .where(F.col("jaccard") >= F.lit(jaccard_threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+    return (verified, metrics) if return_metrics else verified
 
 
 def fnv1a64_vec(tokens: np.ndarray) -> np.ndarray:
@@ -183,13 +222,19 @@ simhash_udf = F.pandas_udf(lambda s: simhash_kernel(s), LongType())
 
 
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 8
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket: int | None = 10_000,
+    return_metrics: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket by 16-bit signature chunks
     (pigeonhole: any pair within hamming<=max_hamming over 64 bits
     shares at least one of 4 exact 16-bit chunks when max_hamming<=3;
     for larger radii this is a recall-bounded heuristic, documented),
-    verify with exact popcount."""
+    verify with exact popcount. Buckets above ``max_bucket`` drop with
+    metrics (see ``_cap_buckets``)."""
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
     chunks = []
     for c in range(4):
@@ -202,6 +247,7 @@ def simhash_near_dups(
     buckets = sig.select("id", "sig", F.explode(F.array(*chunks)).alias("ck")).select(
         "id", "sig", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv")
     )
+    buckets, metrics = _cap_buckets(buckets, ["chunk", "cv"], max_bucket)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     pairs = (
@@ -215,7 +261,7 @@ def simhash_near_dups(
         .distinct()
         .where(F.col("hamming") <= F.lit(max_hamming))
     )
-    return pairs
+    return (pairs, metrics) if return_metrics else pairs
 
 
 def token_jaccard_pairs(
@@ -224,10 +270,20 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     bucket_width: int = 10,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """n-gram(1) token-set Jaccard near-dup: length-bucketed candidate
     self-join (|A∩B|/|A∪B| >= t implies |A| and |B| within factor 1/t,
-    so only neighbor buckets need joining), exact verify via array ops."""
+    so only neighbor buckets need joining), exact verify via array ops.
+
+    SCALE WARNING: length bucketing is a weak LSH — within one bucket
+    the join is all-pairs, and at web scale a single length bucket
+    holds billions of docs. This operator is the EXACT, oracle-twinned
+    verify stage for bounded inputs (and the pytest ground truth for
+    `minhash_lsh_pairs`); the 100 TB path generates candidates with
+    MinHash-LSH and verifies them with the same array-intersect
+    Jaccard expression. ``max_bucket`` (default None = exact) applies
+    the same drop-cap as the LSH operators when you do need a bound."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
@@ -235,6 +291,8 @@ def token_jaccard_pairs(
     buckets = toks.select(
         "id", "tk", F.explode(F.array(F.col("nb"), F.col("nb") + 1)).alias("bucket")
     )
+    if max_bucket is not None:
+        buckets, _ = _cap_buckets(buckets, ["bucket"], max_bucket)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     return (

@@ -186,15 +186,23 @@ def cosine_near_dup_pairs(
     id_col: str = "vec_id",
     seed: int = 7,
     dim: int = 64,
+    max_bucket: int | None = 10_000,
+    return_metrics: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: hyperplane-bucket self-join + exact
     cosine verify (recall bounded by bucket collision probability;
-    raise n_planes for precision, add probes for recall)."""
+    raise n_planes for precision, add probes for recall). Buckets above
+    ``max_bucket`` (e.g. the all-zeros bucket of zero vectors, or a
+    boilerplate-embedding cluster) drop with lazy metrics — the bucket
+    self-join is quadratic in bucket size (see dedup._cap_buckets)."""
+    from .dedup import _cap_buckets
+
     planes = hyperplanes(dim, n_planes, seed)
     sig_udf = make_lsh_sig_udf(planes)
     sigs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "sig", sig_udf(F.col("v"))
     )
+    sigs, metrics = _cap_buckets(sigs, ["sig"], max_bucket)
     a = sigs.alias("a")
     b = sigs.alias("b")
     dot = F.aggregate(
@@ -209,7 +217,7 @@ def cosine_near_dup_pairs(
             lambda acc, x: acc + x,
         )
     )
-    return (
+    pairs = (
         a.join(b, F.col("a.sig") == F.col("b.sig"))
         .where(F.col("a.id") < F.col("b.id"))
         .select(
@@ -220,3 +228,4 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+    return (pairs, metrics) if return_metrics else pairs

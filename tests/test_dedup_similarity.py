@@ -186,3 +186,94 @@ class TestIVF:
         a = similarity.ivf_topk(emb, q, k=5).toPandas()
         b = similarity.ivf_topk(emb.repartition(9), q, k=5).toPandas()
         assert a["id"].tolist() == b["id"].tolist()
+
+
+class TestSkewCap:
+    """Adversarial boilerplate skew: one bucket holding 50% of docs must
+    be dropped by the `max_bucket` cap (with metrics — no silent cap)
+    while ordinary near-dup pairs outside the hot bucket survive."""
+
+    N_BOILER = 100
+
+    @pytest.fixture(scope="class")
+    def skew_docs(self, spark):
+        rows = []
+        boiler = " ".join(f"common{i}" for i in range(30))
+        for i in range(self.N_BOILER):
+            rows.append((i, boiler))
+        # 40 distinct docs incl. 4 planted near-dup pairs
+        for i in range(40):
+            base = [f"tok{i}_{j}" for j in range(30)]
+            rows.append((1000 + i, " ".join(base)))
+            if i < 4:
+                mut = list(base)
+                mut[-1] = f"mut{i}"
+                rows.append((2000 + i, " ".join(mut)))
+        return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def test_minhash_cap_drops_hot_bucket_keeps_pairs(self, spark, skew_docs):
+        pairs, metrics = dedup.minhash_lsh_pairs(
+            skew_docs, k=32, bands=16, jaccard_threshold=0.5,
+            max_bucket=50, return_metrics=True,
+        )
+        got = pairs.toPandas()
+        m = metrics.collect()[0]
+        assert m.dropped_buckets > 0
+        assert m.dropped_members >= self.N_BOILER
+        # no pair where both sides are boilerplate (its bucket was dropped)
+        assert not (
+            (got.id_a < self.N_BOILER) & (got.id_b < self.N_BOILER)
+        ).any()
+        # all 4 planted pairs survive (their buckets are tiny)
+        found = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+        for i in range(4):
+            assert (1000 + i, 2000 + i) in found
+        # candidate volume is bounded: without the cap the boilerplate
+        # bucket alone yields C(100,2)=4950 pairs
+        uncapped = dedup.minhash_lsh_pairs(
+            skew_docs, k=32, bands=16, jaccard_threshold=0.5, max_bucket=None
+        ).count()
+        assert uncapped >= 4950
+        assert len(got) < 100
+
+    def test_simhash_cap(self, spark, skew_docs):
+        pairs, metrics = dedup.simhash_near_dups(
+            skew_docs, max_hamming=10, max_bucket=50, return_metrics=True
+        )
+        got = pairs.toPandas()
+        m = metrics.collect()[0]
+        assert m.dropped_buckets >= 4  # all 4 chunks of the boiler sig
+        assert not (
+            (got.id_a < self.N_BOILER) & (got.id_b < self.N_BOILER)
+        ).any()
+        found = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+        # near-identical planted docs share >=1 small chunk bucket
+        assert sum((1000 + i, 2000 + i) in found for i in range(4)) >= 3
+
+    def test_cosine_near_dup_cap(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(5)
+        rows = []
+        hot = rng.randn(16).astype(np.float32)
+        for i in range(self.N_BOILER):
+            rows.append((i, [float(v) for v in hot]))
+        for i in range(20):
+            v = rng.randn(16).astype(np.float32)
+            rows.append((1000 + i, [float(x) for x in v]))
+            if i < 3:
+                rows.append((2000 + i, [float(x) * 2.0 for x in v]))
+        emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+        pairs, metrics = similarity.cosine_near_dup_pairs(
+            emb, threshold=0.99, n_planes=8, dim=16,
+            max_bucket=50, return_metrics=True,
+        )
+        got = pairs.toPandas()
+        m = metrics.collect()[0]
+        assert m.dropped_buckets >= 1
+        assert m.dropped_members >= self.N_BOILER
+        assert not ((got.id_a < self.N_BOILER) & (got.id_b < self.N_BOILER)).any()
+        found = {(a, b) for a, b in zip(got.id_a, got.id_b)}
+        # scaled clones have identical hyperplane signs -> always found
+        for i in range(3):
+            assert (1000 + i, 2000 + i) in found
