@@ -374,14 +374,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane buckets
-    (rows-only; pytest asserts engine pairs ⊆ exact pairs)."""
+    """Embedding-cosine near-dup pairs via hyperplane buckets over the
+    planted-duplicate view (sources/derived.spark_embeddings_aug) —
+    oracle-exact: at threshold 0.95 the qualifying pairs are exactly
+    the planted power-of-two clones, which the LSH finds with recall 1
+    (identical signatures), so engine == brute-force DuckDB."""
     from streetview_naturevisibility_spark.operators.similarity import (
         cosine_near_dup_pairs,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
-    return cosine_near_dup_pairs(emb, threshold=0.5, n_planes=6)
+    emb = D.spark_embeddings_aug(spark, sf_dir)
+    return cosine_near_dup_pairs(emb, threshold=0.95, n_planes=6)
 
 
 def q_edge_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -711,6 +714,18 @@ SELECT id, round(cosine, 6) AS cosine FROM (
                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
   FROM embeddings e, q
 ) ORDER BY cosine DESC, id LIMIT 10""",
+        "cosine_near_dup": D.with_clause(D.embeddings_aug_sql())
+        + """
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(b.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
+) WHERE cosine >= 0.95""",
         "text_stats": (
             "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "

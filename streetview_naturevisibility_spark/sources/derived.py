@@ -234,6 +234,41 @@ grid AS (
 )"""
 
 
+# ----------------------------------------------------------- embeddings
+# planted near-duplicates: every EMB_DUP_MOD-th vector re-appears at
+# vec_id+EMB_DUP_OFFSET scaled by 2.0 — a power of two, so the float32
+# scale and all downstream float64 sums are EXACT and the pair's cosine
+# is exactly 1.0 in both engines. Natural sf0.01 pairs top out at
+# cosine 0.513, so a 0.95 threshold selects precisely the planted
+# pairs, whose identical hyperplane signs give the LSH recall 1.
+EMB_DUP_MOD = 25
+EMB_DUP_OFFSET = 1_000_000
+
+
+def spark_embeddings_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    clones = emb.where(F.col("vec_id") % EMB_DUP_MOD == 0).select(
+        (F.col("vec_id") + F.lit(EMB_DUP_OFFSET)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda v: (v * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(clones)
+
+
+def embeddings_aug_sql() -> str:
+    return f"""
+emb_aug AS (
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_DUP_OFFSET} AS vec_id,
+         list_transform(embedding, v -> CAST(v * 2.0 AS FLOAT)) AS embedding,
+         label
+  FROM embeddings WHERE vec_id % {EMB_DUP_MOD} = 0
+)"""
+
+
 # ------------------------------------------------------------------ snap
 def snap_sql() -> str:
     """kNN snap as SQL: 3x3 tile-neighborhood candidate join + (dist,
