@@ -255,6 +255,28 @@ def q_gap_fill_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV RMSE/R²/AIC of the linear gap-fill (reference
+    predict_missing_gvi.py:64-85 model-selection metrics)."""
+    from streetview_naturevisibility_spark.operators.regression import (
+        gap_fill_cv_metrics,
+    )
+
+    gvi = D.spark_gvi(spark, sf_dir)
+    ndvi = (
+        ((F.col("point_id") * D.ND_A + D.ND_B) % D.M32).cast("double")
+        / F.lit(float(D.M32))
+    ).alias("ndvi")
+    df = gvi.select("point_id", "gvi", ndvi)
+    m = gap_fill_cv_metrics(df, feature="ndvi", target="gvi", folds=5)
+    return m.select(
+        "n_known",
+        F.round("avg_rmse", 6).alias("avg_rmse"),
+        F.round("avg_r2", 6).alias("avg_r2"),
+        F.round("aic", 6).alias("aic"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by content hash over documents."""
     docs = load(spark, sf_dir, "documents")
@@ -653,6 +675,42 @@ SELECT point_id, missing,
        AS gvi_filled
 FROM feat"""
         ),
+        "gap_fill_metrics": geo(
+            f"""
+, feat AS (
+  SELECT point_id,
+         CAST((point_id * {D.ND_A} + {D.ND_B}) % {D.M32} AS DOUBLE) / {float(D.M32)!r} AS x,
+         gvi AS y
+  FROM gvi WHERE gvi IS NOT NULL),
+kf AS (SELECT *, ntile(5) OVER (ORDER BY point_id) AS fold FROM feat),
+per AS (
+  SELECT fold, CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+  FROM kf GROUP BY fold),
+tot AS (
+  SELECT CAST(count(*) AS DOUBLE) AS tn, sum(x) AS tsx, sum(y) AS tsy,
+         sum(x*x) AS tsxx, sum(x*y) AS tsxy
+  FROM kf),
+fitted AS (
+  SELECT n, sx, sy, sxx, sxy, syy, tn,
+         ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+           / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) AS b,
+         ((tsy - sy) - ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+           / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) * (tsx - sx))
+           / (tn - n) AS a
+  FROM per, tot),
+scored AS (
+  SELECT sqrt((syy - 2*a*sy - 2*b*sxy + 2*a*b*sx + a*a*n + b*b*sxx) / n) AS rmse,
+         1.0 - (syy - 2*a*sy - 2*b*sxy + 2*a*b*sx + a*a*n + b*b*sxx)
+             / (syy - sy*sy/n) AS r2,
+         tn
+  FROM fitted)
+SELECT CAST(any_value(tn) AS BIGINT) AS n_known,
+       round(avg(rmse), 6) AS avg_rmse,
+       round(avg(r2), 6) AS avg_r2,
+       round(any_value(tn) * ln(avg(rmse) * avg(rmse)) + 4.0, 6) AS aic
+FROM scored"""
+        ),
         "dedup_exact": (
             "SELECT md5(text) AS text_md5, count(*) AS n_dups, "
             "min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
@@ -803,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validity_filter": q_validity_filter,
         "bbox_slice": q_bbox_slice,
         "gap_fill_linreg": q_gap_fill_linreg,
+        "gap_fill_metrics": q_gap_fill_metrics,
         "dedup_exact": q_dedup_exact,
         "token_jaccard": q_token_jaccard,
         "minhash_lsh": q_minhash_lsh,

@@ -40,6 +40,128 @@ def gap_fill_linear(
     ).drop("_slope", "_icept")
 
 
+def gap_fill_cv_metrics(
+    df: DataFrame,
+    feature: str,
+    target: str,
+    folds: int = 5,
+    order_col: str = "point_id",
+) -> DataFrame:
+    """k-fold CV quality metrics for the linear gap-fill — the engine
+    twin of the reference's model-selection printout
+    (predict_missing_gvi.py:64-85: cross_val_score cv=5 RMSE and R²,
+    AIC = n*ln(avg_rmse²) + 2k with k = n_features+1 = 2).
+
+    Fold assignment mirrors sklearn KFold(shuffle=False): contiguous
+    splits in ``order_col`` order with the first n%k folds one row
+    larger — exactly ``ntile(k)``. Each fold's OLS fit and its
+    held-out RMSE/R² come CLOSED-FORM from two moment aggregates
+    (train moments = total − fold; SSR expands over test moments), so
+    the whole metric is one DAG with no per-fold refit loop and no
+    collect. The global ntile window sorts the KNOWN set only — the
+    bounded side the reference fits in sklearn.
+
+    Returns one row: (n_known, avg_rmse, avg_r2, aic).
+    """
+    from pyspark.sql import Window
+
+    known = df.where(F.col(target).isNotNull()).select(
+        F.col(order_col).alias("_ord"),
+        F.col(feature).cast("double").alias("x"),
+        F.col(target).cast("double").alias("y"),
+    )
+    kf = known.withColumn("_fold", F.ntile(folds).over(Window.orderBy("_ord")))
+
+    def moments(prefix: str):
+        return [
+            F.count(F.lit(1)).cast("double").alias(f"{prefix}n"),
+            F.sum("x").alias(f"{prefix}sx"),
+            F.sum("y").alias(f"{prefix}sy"),
+            F.sum(F.col("x") * F.col("x")).alias(f"{prefix}sxx"),
+            F.sum(F.col("x") * F.col("y")).alias(f"{prefix}sxy"),
+            F.sum(F.col("y") * F.col("y")).alias(f"{prefix}syy"),
+        ]
+
+    per = kf.groupBy("_fold").agg(*moments(""))
+    tot = kf.agg(*moments("t"))
+    j = per.crossJoin(F.broadcast(tot))
+    # train = total minus held-out fold
+    rn = F.col("tn") - F.col("n")
+    rx = F.col("tsx") - F.col("sx")
+    ry = F.col("tsy") - F.col("sy")
+    rxx = F.col("tsxx") - F.col("sxx")
+    rxy = F.col("tsxy") - F.col("sxy")
+    slope = (rn * rxy - rx * ry) / (rn * rxx - rx * rx)
+    icept = (ry - slope * rx) / rn
+    fitted = j.select(
+        "n", "sx", "sy", "sxx", "sxy", "syy", "tn",
+        slope.alias("b"), icept.alias("a"),
+    )
+    # SSR over the held-out fold, expanded over its moments:
+    # sum((y - a - b x)^2) = syy - 2a sy - 2b sxy + 2ab sx + a^2 n + b^2 sxx
+    ssr = (
+        F.col("syy")
+        - 2 * F.col("a") * F.col("sy")
+        - 2 * F.col("b") * F.col("sxy")
+        + 2 * F.col("a") * F.col("b") * F.col("sx")
+        + F.col("a") * F.col("a") * F.col("n")
+        + F.col("b") * F.col("b") * F.col("sxx")
+    )
+    sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    scored = fitted.select(
+        F.sqrt(ssr / F.col("n")).alias("rmse"),
+        (F.lit(1.0) - ssr / sst).alias("r2"),
+        "tn",
+    )
+    k_params = 2.0  # slope + intercept
+    return scored.agg(
+        F.first("tn").cast("long").alias("n_known"),
+        F.avg("rmse").alias("avg_rmse"),
+        F.avg("r2").alias("avg_r2"),
+        (
+            F.first("tn") * F.log(F.avg("rmse") * F.avg("rmse"))
+            + F.lit(2.0 * k_params)
+        ).alias("aic"),
+    )
+
+
+def gam_cv_metrics(
+    df: DataFrame,
+    feature: str,
+    target: str,
+    folds: int = 5,
+    n_splines: int = 25,
+    order_col: str = "point_id",
+) -> dict:
+    """k-fold CV RMSE + AIC for the GAM gap-fill (reference
+    predict_missing_gvi.py:128-144). The known set is bounded, so folds
+    fit driver-side (same contiguous KFold splits as
+    ``gap_fill_cv_metrics``); each fold re-runs the lambda gridsearch
+    like cross_val_score refitting the pygam estimator."""
+    known = (
+        df.where(F.col(target).isNotNull())
+        .select(order_col, feature, target)
+        .orderBy(order_col)
+        .toPandas()
+    )
+    x = known[feature].to_numpy(dtype=np.float64)
+    y = known[target].to_numpy(dtype=np.float64)
+    n = len(y)
+    q, r = divmod(n, folds)
+    bounds = np.cumsum([0] + [q + 1] * r + [q] * (folds - r))
+    rmses = []
+    for f in range(folds):
+        lo, hi = bounds[f], bounds[f + 1]
+        test = np.zeros(n, dtype=bool)
+        test[lo:hi] = True
+        gam = LinearGAM1D(n_splines=n_splines).fit(x[~test], y[~test])
+        pred = gam.predict(x[test])
+        rmses.append(float(np.sqrt(np.mean((y[test] - pred) ** 2))))
+    avg_rmse = float(np.mean(rmses))
+    aic = n * np.log(avg_rmse**2) + 2 * 2
+    return {"n_known": n, "avg_rmse": avg_rmse, "aic": float(aic)}
+
+
 def _bspline_basis(x: np.ndarray, knots: np.ndarray, degree: int = 3) -> np.ndarray:
     """Cox-de Boor B-spline basis matrix (pure NumPy)."""
     t = np.concatenate([[knots[0]] * degree, knots, [knots[-1]] * degree])

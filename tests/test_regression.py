@@ -72,3 +72,74 @@ class TestGAM:
         assert np.sqrt(((pred - np.cos(x * 5)) ** 2).mean()) < 0.05
         # smoothing lambda chosen by GCV from the reference's grid
         assert gam.lam_ is not None
+
+
+def _sklearn_style_cv(x, y, folds=5):
+    """Independent oracle: per-fold lstsq refit + held-out metrics, the
+    literal loop sklearn's cross_val_score runs (KFold shuffle=False:
+    contiguous splits, first n%k folds one row larger)."""
+    n = len(y)
+    q, r = divmod(n, folds)
+    sizes = [q + 1] * r + [q] * (folds - r)
+    bounds = np.cumsum([0] + sizes)
+    rmses, r2s = [], []
+    for f in range(folds):
+        test = np.zeros(n, dtype=bool)
+        test[bounds[f] : bounds[f + 1]] = True
+        A = np.column_stack([np.ones((~test).sum()), x[~test]])
+        coef, *_ = np.linalg.lstsq(A, y[~test], rcond=None)
+        pred = coef[0] + coef[1] * x[test]
+        resid = y[test] - pred
+        rmses.append(float(np.sqrt((resid**2).mean())))
+        r2s.append(float(1.0 - (resid**2).sum() / ((y[test] - y[test].mean()) ** 2).sum()))
+    avg_rmse = float(np.mean(rmses))
+    return avg_rmse, float(np.mean(r2s)), float(n * np.log(avg_rmse**2) + 4.0)
+
+
+class TestCVMetrics:
+    def test_linear_cv_matches_per_fold_lstsq(self, spark):
+        from streetview_naturevisibility_spark.operators.regression import (
+            gap_fill_cv_metrics,
+        )
+
+        df, pdf, _ = _toy(spark)
+        got = gap_fill_cv_metrics(df, "ndvi", "gvi", folds=5).collect()[0]
+        known = pdf[~pdf["missing"]].sort_values("point_id")
+        rmse, r2, aic = _sklearn_style_cv(
+            known["ndvi"].to_numpy(), known["gvi"].to_numpy()
+        )
+        assert got.n_known == len(known)
+        assert got.avg_rmse == pytest.approx(rmse, abs=1e-9)
+        assert got.avg_r2 == pytest.approx(r2, abs=1e-9)
+        assert got.aic == pytest.approx(aic, abs=1e-6)
+        # signal is linear with sigma=0.01 noise -> CV must recover it
+        assert got.avg_rmse < 0.02
+        assert got.avg_r2 > 0.9
+
+    def test_gam_cv_metrics(self, spark):
+        from streetview_naturevisibility_spark.operators.regression import (
+            gam_cv_metrics,
+            gap_fill_cv_metrics,
+        )
+
+        df, pdf, _ = _toy(spark, nonlinear=True)
+        gam = gam_cv_metrics(df, "ndvi", "gvi", folds=5)
+        lin = gap_fill_cv_metrics(df, "ndvi", "gvi", folds=5).collect()[0]
+        known = pdf[~pdf["missing"]].sort_values("point_id")
+        assert gam["n_known"] == len(known)
+        # independent fold oracle for the GAM: refit LinearGAM1D with
+        # the same contiguous splits, computed by different code
+        n = gam["n_known"]
+        q, r = divmod(n, 5)
+        bounds = np.cumsum([0] + [q + 1] * r + [q] * (5 - r))
+        x = known["ndvi"].to_numpy()
+        y = known["gvi"].to_numpy()
+        rmses = []
+        for f in range(5):
+            test = np.zeros(n, dtype=bool)
+            test[bounds[f] : bounds[f + 1]] = True
+            m = LinearGAM1D(n_splines=25).fit(x[~test], y[~test])
+            rmses.append(float(np.sqrt(((y[test] - m.predict(x[test])) ** 2).mean())))
+        assert gam["avg_rmse"] == pytest.approx(float(np.mean(rmses)), abs=1e-12)
+        # the reference's README finding: GAM beats linear on GVI data
+        assert gam["avg_rmse"] < lin.avg_rmse
