@@ -88,13 +88,21 @@ def parse_coords_kernel(html: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"lon": _num("lon"), "lat": _num("lat")})
 
 
-def _token_byte_matrix(tokens: np.ndarray) -> np.ndarray:
-    """(n_tokens, max_len) uint8 matrix, zero-padded."""
+def _token_byte_matrix(tokens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(n_tokens, width) uint8 matrix (zero-padded) + exact per-token
+    byte lengths. Liveness during the hash sweep is ``position <
+    length``, NOT ``byte != 0`` — hostile web text can contain embedded
+    NUL bytes, and those must hash identically to the scalar twin
+    (``hash_str64``). NumPy's 'S' dtype strips TRAILING NULs, so the
+    width is forced to cover the true max length; the stripped trailing
+    positions read back as 0x00 — exactly the byte FNV must consume."""
     if len(tokens) == 0:
-        return np.zeros((0, 1), dtype=np.uint8)
-    s = np.asarray(tokens, dtype=bytes)  # 'S' dtype pads with zero bytes
-    width = s.dtype.itemsize
-    return np.frombuffer(s.tobytes(), dtype=np.uint8).reshape(len(s), width)
+        return np.zeros((0, 1), dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    lengths = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+    width = max(int(lengths.max()), 1)
+    s = np.asarray(tokens, dtype=f"S{width}")
+    mat = np.frombuffer(s.tobytes(), dtype=np.uint8).reshape(len(s), width)
+    return mat, lengths
 
 
 def fnv1a32(tokens: np.ndarray) -> np.ndarray:
@@ -102,7 +110,7 @@ def fnv1a32(tokens: np.ndarray) -> np.ndarray:
     string hash (never Python's hash()). Vectorized as a masked
     column sweep over the zero-padded token byte matrix: one vector op
     per byte position instead of one Python op per byte (~30x)."""
-    mat = _token_byte_matrix(
+    mat, lengths = _token_byte_matrix(
         np.array([t.encode("utf-8") for t in tokens], dtype=object)
     )
     n = mat.shape[0]
@@ -112,7 +120,7 @@ def fnv1a32(tokens: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         for j in range(mat.shape[1]):
             col = mat[:, j].astype(np.uint64)
-            live = col != 0  # zero padding never occurs inside utf-8 tokens
+            live = j < lengths  # positional mask: embedded NULs hash too
             upd = ((h ^ col) * prime) & mask32
             h = np.where(live, upd, h)
     return h

@@ -171,10 +171,12 @@ def minhash_lsh_pairs(
 
 def fnv1a64_vec(tokens: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64-bit (masked column sweep over the padded
-    token byte matrix — same trick as functions/text.fnv1a32)."""
+    token byte matrix — same trick as functions/text.fnv1a32). The mask
+    is positional (byte index < token length), so tokens with embedded
+    NUL bytes hash identically to the scalar ``hash_str64`` twin."""
     from ..functions.text import _token_byte_matrix
 
-    mat = _token_byte_matrix(
+    mat, lengths = _token_byte_matrix(
         np.array([t.encode("utf-8") for t in tokens], dtype=object)
     )
     n = mat.shape[0]
@@ -183,7 +185,7 @@ def fnv1a64_vec(tokens: np.ndarray) -> np.ndarray:
     with np.errstate(over="ignore"):
         for j in range(mat.shape[1]):
             col = mat[:, j].astype(np.uint64)
-            live = col != 0
+            live = j < lengths
             upd = (h ^ col) * prime
             h = np.where(live, upd, h)
     return h

@@ -76,3 +76,39 @@ def oracle_knn_snap(
     res["snap_distance"] = out_dist
     res["is_panoramic"] = out_pano
     return res
+
+
+def oracle_fingerprint(text: str, window: int = 8) -> int:
+    """Independent pure-Python rolling-hash fingerprint oracle for
+    operators/textops._fingerprint_kernel: FNV-1a 64 per token, then the
+    minimum Rabin-Karp hash (base 1000003, mod 2^64) over all
+    ``window``-token runs; documents shorter than the window hash their
+    full token run. Result reinterpreted as int64."""
+    toks = text.split(" ") if text else []
+    M = 1 << 64
+    B = 1000003
+
+    def fnv64(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for byte in s.encode("utf-8"):
+            h = ((h ^ byte) * 0x100000001B3) % M
+        return h
+
+    hs = [fnv64(t) for t in toks]
+    if not hs:
+        return 0
+    if len(hs) < window:
+        acc = 0
+        for h in hs:
+            acc = (acc * B + h) % M
+        v = acc
+    else:
+        best = None
+        for i in range(len(hs) - window + 1):
+            acc = 0
+            for h in hs[i : i + window]:
+                acc = (acc * B + h) % M
+            if best is None or acc < best:
+                best = acc
+        v = best
+    return v - M if v >= (1 << 63) else v

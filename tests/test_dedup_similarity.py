@@ -277,3 +277,51 @@ class TestSkewCap:
         # scaled clones have identical hyperplane signs -> always found
         for i in range(3):
             assert (1000 + i, 2000 + i) in found
+
+
+class TestFingerprintValues:
+    """Exact value oracle for the rolling-hash fingerprint (pure-Python
+    independent implementation in tests/oracle.py) — not just
+    determinism."""
+
+    PINNED = [
+        "",  # empty -> 0
+        "single",
+        "two tokens",
+        "a b c d e f g",  # 7 tokens: one sub-window hash
+        "a b c d e f g h",  # exactly the window
+        "the quick brown fox jumps over the lazy dog again and again",
+        "nul\x00token inside text here ok yes no maybe",
+    ]
+
+    def test_kernel_matches_pure_python_oracle(self):
+        import pandas as pd
+
+        from streetview_naturevisibility_spark.operators.textops import (
+            _fingerprint_kernel,
+        )
+        from tests.oracle import oracle_fingerprint
+
+        got = _fingerprint_kernel(pd.Series(self.PINNED))
+        for text, g in zip(self.PINNED, got):
+            assert int(g) == oracle_fingerprint(text), repr(text)
+
+    def test_spark_udf_matches_oracle_on_documents(self, spark, docs, docs_pd):
+        from streetview_naturevisibility_spark.operators.textops import fingerprint_udf
+        from tests.oracle import oracle_fingerprint
+
+        got = (
+            docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fp"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        truth = {
+            r.doc_id: oracle_fingerprint(r.text)
+            for r in docs_pd.head(50).itertuples()
+        }
+        checked = 0
+        for r in got.itertuples():
+            if r.doc_id in truth:
+                assert int(r.fp) == truth[r.doc_id]
+                checked += 1
+        assert checked == len(truth) > 0
