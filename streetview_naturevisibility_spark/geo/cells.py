@@ -63,10 +63,13 @@ def pack_cell_sql(x_expr: str, y_expr: str, zoom: int) -> str:
 
 
 def unpack_cell_col(cell_id: Column) -> tuple[Column, Column, Column]:
-    z = (cell_id / F.lit(1 << _Z_SHIFT)).cast("long")
-    rem = cell_id - z * F.lit(1 << _Z_SHIFT).cast("long")
-    x = (rem / F.lit(1 << _XY_BITS)).cast("long")
-    y = rem - x * F.lit(1 << _XY_BITS).cast("long")
+    """Integer-only unpack (shift + mask): double division would round
+    near 2^53 and could mis-extract tile_x by one at deep zooms with
+    large tile indices — these stay exact for all 29-bit fields."""
+    mask = F.lit((1 << _XY_BITS) - 1).cast("long")
+    z = F.shiftrightunsigned(cell_id, _Z_SHIFT)
+    x = F.shiftrightunsigned(cell_id, _XY_BITS).bitwiseAND(mask)
+    y = cell_id.bitwiseAND(mask)
     return z.cast("int"), x.cast("int"), y.cast("int")
 
 
@@ -100,8 +103,10 @@ def cell_parent_col(cell_id: Column, steps: int = 1) -> Column:
     cascading codegen groupBys with no re-tiling."""
     z, x, y = unpack_cell_col(cell_id)
     nz = z - F.lit(steps)
-    nx = (x / F.lit(1 << steps)).cast("long")
-    ny = (y / F.lit(1 << steps)).cast("long")
+    # integer shifts: exact for every 29-bit tile index (a double
+    # floor-div rounds near 2^53)
+    nx = F.shiftrightunsigned(x.cast("long"), steps)
+    ny = F.shiftrightunsigned(y.cast("long"), steps)
     return (
         nz.cast("long") * F.lit(1 << _Z_SHIFT).cast("long")
         + nx * F.lit(1 << _XY_BITS).cast("long")

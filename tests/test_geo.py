@@ -122,3 +122,40 @@ class TestCellHierarchy:
         got = [r[0] for r in df.select(cell_parent_col(F.col("cell_id"), 2)).collect()]
         exp = [pack_cell_py(x >> 2, y >> 2, 12) for x, y in [(0, 0), (8415, 5384), (16383, 16383)]]
         assert got == exp
+
+
+class TestCellUnpackExact:
+    def test_unpack_and_parent_exact_at_deep_zoom(self, spark):
+        """Integer shift/mask unpack must be exact for every 29-bit tile
+        index — double division rounds near 2^53 (zoom >= 24 with large
+        tile_x)."""
+        from pyspark.sql import functions as F
+
+        from streetview_naturevisibility_spark.geo.cells import (
+            cell_parent_col,
+            pack_cell_py,
+            unpack_cell_col,
+        )
+
+        cases = []
+        for z in (14, 16, 24, 29):
+            lim = (1 << z) - 1
+            for x in (0, 1, lim // 2, lim - 1, lim):
+                for y in (0, lim // 3, lim):
+                    cases.append((pack_cell_py(x, y, z), z, x, y))
+        df = spark.createDataFrame(cases, "cell_id: long, z: int, x: int, y: int")
+        uz, ux, uy = unpack_cell_col(F.col("cell_id"))
+        bad = (
+            df.select("z", "x", "y", uz.alias("uz"), ux.alias("ux"), uy.alias("uy"))
+            .where(
+                (F.col("z") != F.col("uz"))
+                | (F.col("x") != F.col("ux"))
+                | (F.col("y") != F.col("uy"))
+            )
+            .count()
+        )
+        assert bad == 0
+        for r in df.select(
+            "cell_id", "z", "x", "y", cell_parent_col(F.col("cell_id"), 2).alias("p")
+        ).collect():
+            assert r.p == pack_cell_py(r.x >> 2, r.y >> 2, r.z - 2)
