@@ -98,6 +98,31 @@ def dist_point_to_segments(px: float, py: float, coords: np.ndarray) -> float:
     return float(np.sqrt(d2.min()))
 
 
+def dist_points_to_segments(
+    px: np.ndarray, py: np.ndarray, coords: np.ndarray, chunk: int = 4096
+) -> np.ndarray:
+    """Min distance from MANY points to a polyline in one NumPy
+    broadcast (the batch form of ``dist_point_to_segments`` — exact
+    same math, no per-point Python loop). Chunked so the (points x
+    segments) temporary stays bounded regardless of batch size."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    a = coords[:-1]  # (s, 2)
+    ab = coords[1:] - a  # (s, 2)
+    denom = (ab**2).sum(axis=1)
+    denom = np.where(denom > 0, denom, 1.0)
+    out = np.empty(len(px), dtype=np.float64)
+    for lo in range(0, len(px), chunk):
+        hi = min(lo + chunk, len(px))
+        p = np.column_stack([px[lo:hi], py[lo:hi]])  # (m, 2)
+        ap = p[:, None, :] - a[None, :, :]  # (m, s, 2)
+        t = np.clip((ap * ab[None, :, :]).sum(axis=2) / denom[None, :], 0.0, 1.0)
+        proj = a[None, :, :] + ab[None, :, :] * t[:, :, None]
+        d2 = ((p[:, None, :] - proj) ** 2).sum(axis=2)
+        out[lo:hi] = np.sqrt(d2.min(axis=1))
+    return out
+
+
 def regular_polygon(cx: float, cy: float, radius: float, sides: int, phase: float = 0.0) -> np.ndarray:
     """Convex regular polygon (fixture boundary whose PIP test is also
     expressible as half-plane inequalities in the DuckDB oracle)."""

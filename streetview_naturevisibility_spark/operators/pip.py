@@ -29,7 +29,7 @@ from pyspark.sql.types import BooleanType
 from ..geo.cells import pack_cell_py
 from ..geo.mercator import tile_xy_np
 from ..geo.polygon import (
-    dist_point_to_segments,
+    dist_points_to_segments,
     parse_wkt_coords,
     points_in_polygon,
 )
@@ -104,14 +104,9 @@ def pip_join(
             kind, coords, radius = geo_by_id[pid]
             mask = (polygon_id == pid).to_numpy()
             if kind == "road_buffer":
-                sub = np.fromiter(
-                    (
-                        dist_point_to_segments(px, py, coords) <= radius
-                        for px, py in zip(xs[mask], ys[mask])
-                    ),
-                    dtype=bool,
-                    count=int(mask.sum()),
-                )
+                # one broadcast (points x segments) distance kernel per
+                # polygon per batch — no per-point Python loop
+                sub = dist_points_to_segments(xs[mask], ys[mask], coords) <= radius
             else:
                 sub = points_in_polygon(xs[mask], ys[mask], coords)
             out[mask] = sub
