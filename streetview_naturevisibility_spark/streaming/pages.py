@@ -16,22 +16,59 @@ aggregates refresh incrementally without rescanning history.
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.knn import knn_snap
 
+_COLS = ["point_id", "page_url", "snap_distance", "is_panoramic"]
+
+
+def _latest_committed_version(state_path: str) -> int | None:
+    """Highest version dir carrying a _SUCCESS marker, or None if no
+    fold ever committed. Uncommitted dirs (crash mid-write) are simply
+    not the latest — earlier state is never lost to a torn write."""
+    versions = []
+    for d in glob.glob(os.path.join(state_path, "v=*")):
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            try:
+                versions.append(int(d.rsplit("=", 1)[1]))
+            except ValueError:
+                continue
+    return max(versions) if versions else None
+
+
+def read_snap_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """The current committed snap state (raises if none committed yet)."""
+    cur = _latest_committed_version(state_path)
+    if cur is None:
+        raise FileNotFoundError(f"no committed snap state under {state_path}")
+    return spark.read.parquet(os.path.join(state_path, f"v={cur}")).select(*_COLS)
+
 
 def _fold_best(
     spark: SparkSession, new_best: DataFrame, state_path: str
 ) -> None:
-    """state = min(state, new_best) per point (associative)."""
-    cols = ["point_id", "page_url", "snap_distance", "is_panoramic"]
-    new_best = new_best.select(*cols)
-    if os.path.exists(os.path.join(state_path, "_SUCCESS")):
-        old = spark.read.parquet(state_path).select(*cols)
+    """state = min(state, new_best) per point (associative).
+
+    Crash-safe promotion: each fold writes to a NEW versioned directory
+    ``state_path/v=<k+1>`` and is committed by its own _SUCCESS marker
+    (written last by the parquet committer); readers always take the
+    highest COMMITTED version. The previous in-place
+    ``overwrite(state_path)`` deleted the old state before the new
+    commit — a crash in that window silently reset the stream to empty
+    state on replay. Here a torn write leaves an uncommitted dir that
+    the next replay overwrites; committed history is never deleted
+    until the newer version is durable.
+    """
+    new_best = new_best.select(*_COLS)
+    cur = _latest_committed_version(state_path)
+    if cur is not None:
+        old = read_snap_state(spark, state_path)
         both = old.unionByName(new_best)
     else:
         both = new_best
@@ -54,11 +91,19 @@ def _fold_best(
             F.col("_k.p").alias("is_panoramic"),
         )
     )
-    # stage the fold, then atomically replace the state
-    tmp = state_path + "__next"
-    folded.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(state_path)
+    # commit to a fresh version; _SUCCESS (written last) IS the commit.
+    # overwrite handles a stale uncommitted dir left by a crashed
+    # attempt at this same version.
+    nxt = 0 if cur is None else cur + 1
+    folded.write.mode("overwrite").parquet(os.path.join(state_path, f"v={nxt}"))
+    # now-durable: retire committed predecessors and stale torn writes
+    for d in glob.glob(os.path.join(state_path, "v=*")):
+        try:
+            v = int(d.rsplit("=", 1)[1])
+        except ValueError:
+            continue
+        if v < nxt:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def stream_snap_pages(
