@@ -72,15 +72,32 @@ def score_snapped_points(
     (process_data.py:312-319) collapsed into an ordinary left equi-join
     against the pages table (SURVEY.md J9); pages is the big side so the
     snapped points (bounded) are broadcast.
+
+    Urls are NOT assumed unique in pages: a crawl corpus plausibly
+    holds several snapshots of one url (distinct warc_ts), and a
+    duplicate-url join would duplicate scored points and double-count
+    every downstream aggregate. The join output is bounded (<= hits x
+    dup-factor), so it is reduced to one row per point deterministically
+    (first by ``order_col`` if present — e.g. warc_ts picks the
+    earliest snapshot — else by text) BEFORE the scoring UDF runs.
     """
     gvi_udf = make_gvi_udf(cut_by_road_centres)
 
     hits = snapped.where(F.col("page_url") != "")
     misses = snapped.where(F.col("page_url") == "")
 
+    from pyspark.sql import Window
+
+    page_cols = ["page_url", "text"]
+    order_col = "warc_ts" if "warc_ts" in pages.columns else "text"
+    if order_col == "warc_ts":
+        page_cols.append("warc_ts")
+    w = Window.partitionBy("point_id").orderBy(order_col)
     scored_hits = (
-        pages.select(F.col("url").alias("page_url"), "text")
+        pages.select(F.col("url").alias("page_url"), *[c for c in page_cols if c != "page_url"])
         .join(F.broadcast(hits), "page_url")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
         .withColumn("_r", gvi_udf(F.col("text"), F.col("is_panoramic")))
         .select(
             "point_id",

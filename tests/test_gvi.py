@@ -174,3 +174,52 @@ class TestPipelineE2E:
         # determinism: re-run equals
         gvi2 = run_pipeline(roads, pages_raw)["gvi_points"].orderBy("point_id").toPandas()
         pd.testing.assert_frame_equal(gvi.reset_index(drop=True), gvi2.reset_index(drop=True))
+
+
+class TestDuplicateUrlJoinBack:
+    def test_duplicate_urls_do_not_duplicate_points(self, spark):
+        """Multi-snapshot crawls hold the same url several times
+        (distinct warc_ts); the score join-back must stay one row per
+        point, first-wins on warc_ts."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from streetview_naturevisibility_spark.functions.text import fnv1a32
+        from streetview_naturevisibility_spark.operators.gvi import (
+            score_snapped_points,
+        )
+
+        # build two texts with known GVI: ~50% vegetation vs none
+        veg, other = [], []
+        i = 0
+        while len(veg) < 320 or len(other) < 640:
+            tok = f"t{i}"
+            lab = int(fnv1a32(np.array([tok], dtype=object))[0] % 19)
+            if lab == 8:
+                veg.append(tok)
+            elif lab == 3:
+                other.append(tok)
+            i += 1
+        t_half = " ".join(x for pair in zip(veg[:320], other[:320]) for x in pair)
+        t_zero = " ".join(other[:640])
+
+        snapped = spark.createDataFrame(
+            [(1, 4.7, 52.2, "u1", 3.0, True), (2, 4.8, 52.3, "", None, False)],
+            "point_id: long, lon: double, lat: double, page_url: string, "
+            "snap_distance: double, is_panoramic: boolean",
+        )
+        pages = spark.createDataFrame(
+            [("u1", t_zero, 200), ("u1", t_half, 100)],  # warc_ts 100 wins
+            "url: string, text: string, warc_ts: int",
+        )
+        out = score_snapped_points(snapped, pages).orderBy("point_id").toPandas()
+        assert len(out) == 2  # one row per point, no duplication
+        assert out["point_id"].tolist() == [1, 2]
+        assert out["gvi"].iloc[0] == pytest.approx(0.5)  # earliest snapshot won
+        # deterministic under input reordering
+        out2 = (
+            score_snapped_points(snapped, pages.orderBy(F.desc("warc_ts")))
+            .orderBy("point_id")
+            .toPandas()
+        )
+        assert out2["gvi"].iloc[0] == pytest.approx(0.5)
