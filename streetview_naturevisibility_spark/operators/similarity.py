@@ -83,18 +83,138 @@ def ann_topk_lsh(
     seed: int = 7,
 ) -> DataFrame:
     """Approximate top-k: scan only buckets whose signature is within
-    ``multiprobe_hamming`` of the query's signature, exact cosine inside."""
+    ``multiprobe_hamming`` of the query's signature, exact cosine
+    inside. This form recomputes signatures inline — the scale path is
+    ``build_ann_index`` + ``ann_topk_from_index`` (signatures stored
+    once as a partition column, queries prune on it)."""
+    planes = hyperplanes(len(query), n_planes, seed)
+    probe = query_probe_sigs(query, n_planes, multiprobe_hamming, seed)
+    sig_udf = make_lsh_sig_udf(planes)
+    sigs = df.withColumn("_sig", sig_udf(F.col(vec_col)))
+    cand = sigs.where(F.col("_sig").isin(probe))
+    return (
+        cand.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def query_probe_sigs(
+    query: list[float], n_planes: int, multiprobe_hamming: int, seed: int
+) -> list[int]:
+    """The bucket signatures a query scans (its own + 1-bit flips)."""
     q = np.asarray(query, dtype=np.float64)
     planes = hyperplanes(len(query), n_planes, seed)
     qsig = int(((planes @ q) > 0) @ (1 << np.arange(n_planes)).astype(np.int64))
     probe = [qsig]
     if multiprobe_hamming >= 1:
         probe += [qsig ^ (1 << j) for j in range(n_planes)]
+    return probe
+
+
+def build_ann_index(
+    df: DataFrame,
+    out_path: str,
+    n_planes: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 7,
+    dim: int = 64,
+) -> None:
+    """Materialize the LSH index ONCE: signature computed by the
+    vectorized UDF at build time and stored as a PARTITION column, so
+    every later query is pure scan-with-partition-pruning — no Python
+    in the query path, and only matching bucket directories are read
+    (Catalyst partition pruning; at 100 TB this is the difference
+    between scanning ~(probes/2^bits) of the data and all of it)."""
+    planes = hyperplanes(dim, n_planes, seed)
     sig_udf = make_lsh_sig_udf(planes)
-    sigs = df.withColumn("_sig", sig_udf(F.col(vec_col)))
-    cand = sigs.where(F.col("_sig").isin(probe))
+    (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("sig", sig_udf(F.col("v")))
+        .write.partitionBy("sig")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+
+
+def ann_topk_from_index(
+    spark,
+    index_path: str,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    multiprobe_hamming: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate top-k over a stored index: probe signatures are
+    computed driver-side, the scan prunes to those partitions, exact
+    cosine ranks inside — zero UDFs in the plan."""
+    probe = query_probe_sigs(query, n_planes, multiprobe_hamming, seed)
+    cand = spark.read.parquet(index_path).where(F.col("sig").isin(probe))
     return (
-        cand.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), query).alias("cosine"))
+        cand.select("id", cosine_col(F.col("v"), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    out_path: str,
+    n_lists: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_sample: int = 2000,
+    seed: int = 13,
+) -> np.ndarray:
+    """Materialize the IVF index: k-means centroids fit driver-side on
+    a bounded deterministic sample, every vector assigned ONCE and
+    stored partitioned by list id; centroids persist beside the data as
+    an underscore-prefixed sidecar (ignored by parquet discovery).
+    Returns the centroids."""
+    import json
+    import os
+
+    sample = np.stack(
+        [
+            np.asarray(r[0], dtype=np.float64)
+            for r in df.select(vec_col).orderBy(id_col).limit(train_sample).collect()
+        ]
+    )
+    centroids = kmeans_fit(sample, min(n_lists, len(sample)), seed=seed)
+    assign = make_ivf_assign_udf(centroids)
+    (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("list_id", assign(F.col("v")))
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(out_path)
+    )
+    with open(os.path.join(out_path, "_centroids.json"), "w") as f:
+        json.dump(centroids.tolist(), f)
+    return centroids
+
+
+def ivf_topk_from_index(
+    spark, index_path: str, query: list[float], k: int = 10, n_probe: int = 2
+) -> DataFrame:
+    """IVF top-k over a stored index: nearest lists chosen driver-side
+    from the persisted centroids, scan prunes to those partitions,
+    exact cosine inside — no assignment recompute, no UDFs."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(qd)[:n_probe]]
+    cand = spark.read.parquet(index_path).where(F.col("list_id").isin(probe))
+    return (
+        cand.select("id", cosine_col(F.col("v"), query).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
         .select("id", F.round("cosine", 6).alias("cosine"))

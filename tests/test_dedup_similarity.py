@@ -325,3 +325,51 @@ class TestFingerprintValues:
                 assert int(r.fp) == truth[r.doc_id]
                 checked += 1
         assert checked == len(truth) > 0
+
+
+class TestPersistedIndex:
+    """ANN scale path: the index is built once (signature / list id as a
+    stored partition column); queries reuse it with NO python UDF in the
+    plan and partition pruning on the probe buckets."""
+
+    def _plan(self, df) -> str:
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def test_ann_index_reused_same_rows_no_udf(self, spark, tmp_path):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 7).first().embedding)
+        path = str(tmp_path / "ann_idx")
+        similarity.build_ann_index(emb, path, n_planes=6, dim=64)
+        got = similarity.ann_topk_from_index(spark, path, q, k=10, n_planes=6)
+        direct = similarity.ann_topk_lsh(emb, q, k=10, n_planes=6).toPandas()
+        plan = self._plan(got)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "PartitionFilters" in plan and "sig" in plan
+        gp = got.toPandas()
+        assert gp["id"].tolist() == direct["id"].tolist()
+        assert np.allclose(gp["cosine"], direct["cosine"])
+        # second query against the same index: still no signature UDF
+        q2 = list(emb.where(F.col("vec_id") == 42).first().embedding)
+        got2 = similarity.ann_topk_from_index(spark, path, q2, k=5, n_planes=6)
+        assert "ArrowEvalPython" not in self._plan(got2)
+        assert got2.count() == 5
+
+    def test_ivf_index_reused_same_rows_no_udf(self, spark, tmp_path):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 7).first().embedding)
+        path = str(tmp_path / "ivf_idx")
+        similarity.build_ivf_index(emb, path, n_lists=8)
+        got = similarity.ivf_topk_from_index(spark, path, q, k=10, n_probe=2)
+        direct = similarity.ivf_topk(emb, q, k=10, n_lists=8, n_probe=2).toPandas()
+        plan = self._plan(got)
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        assert "PartitionFilters" in plan and "list_id" in plan
+        gp = got.toPandas()
+        assert gp["id"].tolist() == direct["id"].tolist()
+        assert np.allclose(gp["cosine"], direct["cosine"])
