@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streetview_naturevisibility_spark.geo.hexgrid import hex_cell_sql_ctes
 from streetview_naturevisibility_spark.geo.polygon import coords_to_wkt, halfplane_sql
 from streetview_naturevisibility_spark.operators import aggregates as agg
 from streetview_naturevisibility_spark.operators.pip import make_pip_flag_udf
@@ -55,6 +56,44 @@ def q_cell_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_knn_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.spark_gvi(spark, sf_dir).select(
         "point_id", "page_url", "snap_distance", "is_panoramic", "missing"
+    )
+
+
+HEX_SIZE = 500.0  # tile_assign_hex cell size (meters in derived space)
+
+
+def q_tile_assign_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-cell assignment rollup (SURVEY J2 H3 variant): pandas-UDF
+    hex index over the derived pages, exact DuckDB twin via
+    geo/hexgrid.hex_cell_sql_ctes."""
+    from streetview_naturevisibility_spark.geo.hexgrid import make_hex_cell_udf
+
+    pages = D.spark_pages(spark, sf_dir)
+    hex_udf = make_hex_cell_udf(HEX_SIZE)
+    return (
+        pages.withColumn("hex_cell", hex_udf(F.col("x"), F.col("y")))
+        .groupBy("hex_cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def q_knn_snap_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-ring-pruned kNN snap — must reproduce the square-cell snap
+    assignments EXACTLY (same oracle as knn_snap)."""
+    from streetview_naturevisibility_spark.operators.knn import knn_snap_hex
+
+    pages = D.spark_pages(spark, sf_dir)
+    points = D.spark_points(spark, sf_dir)
+    snapped = knn_snap_hex(
+        points, pages, max_distance=2 * D.SNAP_RADIUS, hex_size=D.SNAP_RADIUS
+    )
+    return snapped.select(
+        "point_id",
+        "page_url",
+        F.when(F.col("page_url") == "", F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("snap_distance"), 6))
+        .alias("snap_distance"),
+        "is_panoramic",
     )
 
 
@@ -538,6 +577,14 @@ def oracle_sql() -> dict[str, str]:
         "knn_snap": geo(
             "SELECT point_id, page_url, snap_distance, is_panoramic, missing FROM gvi"
         ),
+        "tile_assign_hex": D.with_clause(
+            D.pages_sql(),
+            hex_cell_sql_ctes("pages", "doc_id", "x", "y", HEX_SIZE),
+        )
+        + "\nSELECT hex_cell, count(*) AS n_pages FROM hexcell GROUP BY hex_cell",
+        "knn_snap_hex": geo(
+            "SELECT point_id, page_url, snap_distance, is_panoramic FROM gvi"
+        ),
         "gvi_per_road": geo(
             "SELECT road_id, round(avg(gvi), 6) AS avg_gvi, "
             "CAST(sum(CASE WHEN gvi IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_points_count, "
@@ -844,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": q_tile_assign,
         "cell_topk": q_cell_topk,
         "knn_snap": q_knn_snap,
+        "tile_assign_hex": q_tile_assign_hex,
+        "knn_snap_hex": q_knn_snap_hex,
         "gvi_per_road": q_gvi_per_road,
         "roads_gvi_left": q_roads_gvi_left,
         "missing_metrics": q_missing_metrics,

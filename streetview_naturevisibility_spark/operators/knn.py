@@ -111,6 +111,20 @@ def knn_snap(
         .select("point_id", "_dist", "_url", "_pano")
     )
 
+    return _snap_reduce_join(points, cand, key_is_string, key_col, reduce, salt)
+
+
+def _snap_reduce_join(
+    points: DataFrame,
+    cand: DataFrame,
+    key_is_string: bool,
+    key_col: str,
+    reduce: str,
+    salt: int | None,
+) -> DataFrame:
+    """Shared k=1 reduce + miss-preserving join-back (used by the
+    square-cell and hex-cell snap joins — the candidate generation is
+    the only part that differs)."""
     best_struct = F.struct(
         F.col("_dist").alias("dist"),
         F.col("_url").alias("url"),
@@ -160,6 +174,63 @@ def knn_snap(
         .withColumn("is_panoramic", F.coalesce(F.col("best.pano"), F.lit(False)))
         .drop("best")
     )
+
+
+def knn_snap_hex(
+    points: DataFrame,
+    pages: DataFrame,
+    max_distance: float = 50.0,
+    hex_size: float | None = None,
+    salt: int | None = None,
+    key_col: str = "url",
+    reduce: str = "two_phase",
+) -> DataFrame:
+    """The hex-index variant of ``knn_snap`` (SURVEY J2 H3 variant):
+    identical semantics and output, candidate pruning via the 7-cell
+    hex ring instead of the 3x3 square ring.
+
+    Both sides get a packed hex cell from (x, y) — pages via the
+    vectorized pandas UDF once per row (the shape an h3.latlng_to_cell
+    wrapper takes), points exploded to cell + 6 neighbors by PURE
+    Column adds (packing is linear in the axial coords). One-ring
+    containment holds when ``hex_size >= max_distance/2`` (see
+    geo/hexgrid docstring); the default pins hex_size to the bound.
+    """
+    from ..geo.hexgrid import hex_neighbors_col, make_hex_cell_udf
+
+    bound = max_distance / 2.0
+    size = hex_size if hex_size is not None else bound
+    if size < bound:
+        raise ValueError("hex_size must cover the snap bound (one-ring guarantee)")
+    key_is_string = dict(pages.dtypes)[key_col] == "string"
+    hex_udf = make_hex_cell_udf(size)
+
+    cand_points = F.broadcast(
+        points.withColumn("_hc", hex_udf(F.col("x"), F.col("y"))).select(
+            "point_id",
+            F.col("x").alias("_px"),
+            F.col("y").alias("_py"),
+            F.explode(hex_neighbors_col(F.col("_hc"))).alias("cell_id"),
+        )
+    )
+    pages_side = pages.select(
+        hex_udf(F.col("x"), F.col("y")).alias("cell_id"),
+        F.col(key_col).alias("_url"),
+        F.col("x").alias("_qx"),
+        F.col("y").alias("_qy"),
+        F.col("is_panoramic").alias("_pano"),
+    )
+    dist = F.sqrt(
+        (F.col("_px") - F.col("_qx")) * (F.col("_px") - F.col("_qx"))
+        + (F.col("_py") - F.col("_qy")) * (F.col("_py") - F.col("_qy"))
+    )
+    cand = (
+        pages_side.join(cand_points, "cell_id")
+        .withColumn("_dist", dist)
+        .where(F.col("_dist") < F.lit(bound))
+        .select("point_id", "_dist", "_url", "_pano")
+    )
+    return _snap_reduce_join(points, cand, key_is_string, key_col, reduce, salt)
 
 
 _GROUPED_BEST = StructType(
