@@ -513,6 +513,30 @@ def q_gvi_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isochrone union areas (reference F6, availability.py:937-958)
+    over a derived street graph — rows-only (Dijkstra + flood fill are
+    not SQL-expressible; the exact-cell oracle lives in
+    tests/test_isochrone.py)."""
+    from streetview_naturevisibility_spark.operators.isochrone import (
+        isochrone_area,
+        isochrone_cells,
+    )
+
+    pts = D.spark_points(spark, sf_dir).where(F.col("point_id") <= 60)
+    nodes = pts.select(F.col("point_id").alias("node_id"), "x", "y")
+    edges = nodes.select(
+        F.col("node_id").alias("u"), (F.col("node_id") + 1).alias("v")
+    ).where(F.col("v") <= 60)
+    pois = pts.where(F.col("point_id") % 20 == 5).select(
+        F.col("point_id").alias("poi_id"), "x", "y"
+    )
+    iso = isochrone_cells(
+        pois, nodes, edges, buffer_dist=15000.0, edge_buff=400.0, grid=200.0
+    )
+    return isochrone_area(iso, grid=200.0)
+
+
 def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the events stream table."""
     ev = load(spark, sf_dir, "events")
@@ -927,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds": q_bounds,
         "overlay_ratio": q_overlay_ratio,
         "gvi_score_docs": q_gvi_score_docs,
+        "isochrone": q_isochrone,
         "events_window": q_events_window,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
