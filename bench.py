@@ -184,11 +184,17 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
 
-    # warm-up pass each (JIT + Python workers), then the timed run
+    # warm-up pass each (JIT + Python workers), then the timed run.
+    # clearCache between passes: the two-phase kNN reduce persists its
+    # candidate set, and Spark's CacheManager substitutes cached plans
+    # by canonical equality — without the clear, the timed run would
+    # reuse the warm-up's cache and skip the scan+extract entirely.
     bench_snap_throughput(spark, sf_dir, n_pages)
+    spark.catalog.clearCache()
     snap_sec, kernel_pps = bench_snap_throughput(spark, sf_dir, n_pages)
     times["snap_kernel_pages"] = round(snap_sec, 3)
     bench_pipeline_throughput(spark, sf_dir, n_pages)
+    spark.catalog.clearCache()
     pipe_sec, pages_per_sec = bench_pipeline_throughput(spark, sf_dir, n_pages)
     times["full_pipeline_pages"] = round(pipe_sec, 3)
 
