@@ -37,6 +37,38 @@ def _geo_sql(select: str) -> str:
     return D.with_clause(*D.GEO_CTES) + "\n" + select
 
 
+def _ann_lsh_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of ann_topk_lsh: the hyperplanes are deterministic
+    constants (similarity.hyperplanes), so each signature bit is a
+    literal-plane dot product; multiprobe hamming<=1 via bit_count;
+    exact float64 cosine ranks inside the probed buckets."""
+    from streetview_naturevisibility_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    lit = lambda p: "[" + ", ".join(repr(float(v)) for v in p) + "]"  # noqa: E731
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_zip(embedding, {lit(planes[j])}),"
+        f" p -> CAST(p[1] AS DOUBLE) * p[2])) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, CAST({sig_terms} AS INTEGER) AS sig FROM embeddings
+),
+q AS (SELECT sig AS qsig, embedding AS qv FROM sigs WHERE vec_id = 0)
+SELECT id, round(cosine, 6) AS cosine FROM (
+  SELECT s.vec_id AS id,
+         list_sum(list_transform(list_zip(s.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(s.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM sigs s, q
+  WHERE bit_count(CAST(xor(CAST(s.sig AS BIGINT), CAST(q.qsig AS BIGINT)) AS BIGINT)) <= 1
+) ORDER BY cosine DESC, id LIMIT 10"""
+
+
 # --------------------------------------------------------------- queries
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = D.spark_pages(spark, sf_dir)
@@ -416,8 +448,10 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall vs brute force
-    is asserted in pytest)."""
+    """LSH-bucketed approximate top-k — oracle-exact: the hyperplanes
+    are deterministic constants, so the DuckDB twin recomputes the
+    signatures as literal-plane dot products and probes the same
+    hamming<=1 buckets (recall vs brute force additionally in pytest)."""
     from streetview_naturevisibility_spark.operators.similarity import ann_topk_lsh
 
     emb = load(spark, sf_dir, "embeddings")
@@ -831,6 +865,7 @@ SELECT doc_id,
 FROM s""",
         # explicit double math: DuckDB's list_cosine_similarity runs in
         # float32 and diverges from the engine's float64 HOF pipeline
+        "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
         "sim_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT id, round(cosine, 6) AS cosine FROM (
