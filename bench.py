@@ -160,6 +160,16 @@ def main() -> None:
                       shuffle_partitions=max(int(cpus), 8))
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM (codegen JIT) and the Arrow Python workers once so
+    # the first headline query doesn't absorb session startup cost
+    spark.range(0, 2_000_000, 1, 32).agg(
+        F.avg(F.xxhash64("id").cast("double"))
+    ).collect()
+    _warm = F.pandas_udf(lambda s: s, "long")
+    spark.range(0, 10_000, 1, 8).select(_warm(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     qs = entrymod.queries()
     headline = [
         "tile_assign",
