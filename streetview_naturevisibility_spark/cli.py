@@ -37,7 +37,7 @@ from .operators.aggregates import (
 )
 from .operators.gvi import score_snapped_points
 from .operators.knn import knn_snap
-from .operators.regression import gap_fill_linear
+from .operators.regression import gap_fill_cv_metrics, gap_fill_linear
 from .operators.resume import read_lineage, run_stage
 from .operators.sampling import sample_points
 from .operators.tiling import prepare_pages
@@ -117,12 +117,18 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     grid = spark.read.parquet(args.ndvi_grid)
     ndvi = zonal_mean(points, grid, radius=args.distance / 2.0)
     feats = gvi.join(ndvi, "point_id", "left").withColumnRenamed("mean_ndvi", "ndvi")
-    out = gap_fill_linear(
-        feats.where(F.col("ndvi").isNotNull()), feature="ndvi", target="gvi"
-    )
+    known_feats = feats.where(F.col("ndvi").isNotNull())
+    out = gap_fill_linear(known_feats, feature="ndvi", target="gvi")
     out.orderBy("point_id").write.mode("overwrite").parquet(
         os.path.join(args.results, "gvi_filled")
     )
+    # the reference's model-selection printout
+    # (predict_missing_gvi.py:81-85: cv=5 R2 / RMSE / AIC)
+    m = gap_fill_cv_metrics(known_feats, feature="ndvi", target="gvi").collect()[0]
+    print("<----- Linear Regression ----->")
+    print("R2 value:", m.avg_r2)
+    print("RMSE:", m.avg_rmse)
+    print("AIC value:", m.aic)
     print("gap-fill complete -> gvi_filled")
 
 
