@@ -582,6 +582,22 @@ def q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (gaps-and-islands; the batch twin of
+    the applyInPandasWithState streaming operator)."""
+    from streetview_naturevisibility_spark.streaming.sessions import sessionize_batch
+
+    ev = load(spark, sf_dir, "events")
+    out = sessionize_batch(ev, gap_seconds=1800)
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary (general OLAP capability)."""
     li = load(spark, sf_dir, "lineitem")
@@ -927,6 +943,19 @@ GROUP BY q.point_id""",
             "count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "sessionize": """
+WITH e AS (SELECT user_id, event_id, value, ts, epoch_us(ts) AS us FROM events),
+m AS (
+  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+                      > 1800000000 THEN 1 ELSE 0 END AS new_sess
+  FROM e),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM m)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sess_id""",
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
             "round(sum(l_extendedprice), 4) AS sum_base_price, "
@@ -988,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gvi_score_docs": q_gvi_score_docs,
         "isochrone": q_isochrone,
         "events_window": q_events_window,
+        "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
     }
