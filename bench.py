@@ -169,6 +169,10 @@ def main() -> None:
     spark.range(0, 10_000, 1, 8).select(_warm(F.col("id"))).write.format(
         "noop"
     ).mode("overwrite").save()
+    # parquet reader + noop sink init (first scan otherwise pays it)
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).limit(
+        1000
+    ).write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
     headline = [
