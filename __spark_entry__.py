@@ -37,6 +37,51 @@ def _geo_sql(select: str) -> str:
     return D.with_clause(*D.GEO_CTES) + "\n" + select
 
 
+def _minhash_oracle_sql(
+    k: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of minhash_lsh_pairs(hash_method='md5'): identical
+    shingling, permutation constants (dedup._perm_params), band string
+    keys, candidate self-join and exact Jaccard verify."""
+    from streetview_naturevisibility_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        _perm_params,
+    )
+
+    rows = k // bands
+    perms = _perm_params(k)
+    mh_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_PRIME}))"
+        for a, b in perms
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+shg AS (
+  SELECT id, list_distinct(list_transform(
+           range(1, greatest(len(tk) - {n - 1}, 1) + 1),
+           i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))) AS sh
+  FROM toks),
+hs AS (
+  SELECT id, sh, list_transform(
+           sh, s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % 4294967296) AS hs
+  FROM shg),
+mh AS (SELECT id, sh, [{mh_exprs}] AS mh FROM hs),
+buckets AS (
+  SELECT id, b.band, array_to_string(
+           list_slice(mh, b.band * {rows} + 1, b.band * {rows} + {rows}), '|') AS bh
+  FROM mh, (SELECT unnest(range(0, {bands})) AS band) b),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id)
+SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+  FROM cand c JOIN shg sa ON c.id_a = sa.id JOIN shg sb ON c.id_b = sb.id
+) WHERE jaccard >= {threshold!r}"""
+
+
 def _ann_lsh_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
     """DuckDB twin of ann_topk_lsh: the hyperplanes are deterministic
     constants (similarity.hyperplanes), so each signature bit is a
@@ -387,13 +432,17 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: xxhash64-based bucketing
-    is engine-specific; exactness of the Jaccard verify is covered by
-    pytest against brute force)."""
+    """MinHash+LSH near-dup pairs — oracle-exact via the portable md5
+    shingle hash (hash_method="md5"): the DuckDB twin reproduces the
+    entire pipeline (shingling, 32 permutations, 8-band bucketing,
+    candidate join, exact Jaccard verify). The xxhash64 fast path keeps
+    its brute-force pytest oracle."""
     from streetview_naturevisibility_spark.operators.dedup import minhash_lsh_pairs
 
     docs = load(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, k=32, bands=8, jaccard_threshold=0.5)
+    return minhash_lsh_pairs(
+        docs, k=32, bands=8, jaccard_threshold=0.5, hash_method="md5"
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +930,7 @@ SELECT doc_id,
 FROM s""",
         # explicit double math: DuckDB's list_cosine_similarity runs in
         # float32 and diverges from the engine's float64 HOF pipeline
+        "minhash_lsh": _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
         "sim_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

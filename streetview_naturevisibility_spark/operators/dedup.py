@@ -91,14 +91,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def shingle_hash(s, method: str = "xxhash64"):
+    """32-bit shingle hash. ``xxhash64``: fastest JVM path (engine
+    specific). ``md5``: engine-PORTABLE — the first 15 md5 hex chars as
+    an integer, computable identically in DuckDB as
+    ``CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`` — used by the
+    oracle-exact contract variant of the LSH pipeline."""
+    if method == "xxhash64":
+        return F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(1 << 32)
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 32, n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 32,
+    n: int = 3,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, minhash: array<bigint> of length k) — pure JVM expressions:
-    min over shingles of (a_i * xxhash64(shingle) + b_i) mod p."""
+    min over shingles of (a_i * hash(shingle) + b_i) mod p."""
     sh = shingles_col(text_col, n).alias("sh")
     hashes = F.transform(
-        F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+        F.col("sh"), lambda s: shingle_hash(s, hash_method)
     ).alias("hs")
     base = df.select(F.col(id_col).alias("id"), sh).select("id", hashes)
     def _perm(a: int, b: int):
@@ -122,19 +140,27 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     max_bucket: int | None = 10_000,
     return_metrics: bool = False,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact token-shingle
     Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b; with
     ``return_metrics`` also the lazy drop-metrics frame (see
-    ``_cap_buckets``)."""
+    ``_cap_buckets``). ``hash_method="md5"`` makes every stage
+    engine-portable (string band keys, md5 shingle hash) so a DuckDB
+    oracle can reproduce the pipeline exactly."""
     rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n)
+    sig = minhash_signatures(df, text_col, id_col, k, n, hash_method)
     band_cols = []
     for b in range(bands):
         band = F.slice(F.col("minhash"), b * rows + 1, rows)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.xxhash64(band.cast("string")).alias("bh"))
+        # fast path condenses the band to a 64-bit hash; portable path
+        # keeps the joined decimal string (identical in any engine)
+        bh = (
+            F.xxhash64(band.cast("string"))
+            if hash_method == "xxhash64"
+            else F.concat_ws("|", band)
         )
+        band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))

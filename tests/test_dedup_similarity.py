@@ -58,6 +58,24 @@ class TestMinhashLSH:
         if strong:
             assert len(strong & found) / len(strong) >= 0.9
 
+    def test_md5_portable_mode_exact_and_high_recall(self, spark, docs, docs_pd):
+        """The engine-portable (md5 shingle hash, string band keys)
+        variant used by the oracle-exact contract row keeps the same
+        precision/recall properties as the xxhash64 fast path."""
+        thr = 0.2
+        got = dedup.minhash_lsh_pairs(
+            docs, k=32, bands=16, jaccard_threshold=thr, hash_method="md5"
+        ).toPandas()
+        truth = _true_jaccard_pairs(docs_pd, thr)
+        for r in got.itertuples():
+            key = (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+            assert key in truth
+            assert abs(r.jaccard - truth[key]) < 1e-5
+        strong = {k for k, j in truth.items() if j >= 0.45}
+        found = {(min(a, b), max(a, b)) for a, b in zip(got.id_a, got.id_b)}
+        if strong:
+            assert len(strong & found) / len(strong) >= 0.9
+
     def test_signatures_deterministic(self, spark, docs):
         s1 = dedup.minhash_signatures(docs, k=8).orderBy("id").toPandas()
         s2 = dedup.minhash_signatures(docs.repartition(7), k=8).orderBy("id").toPandas()
