@@ -44,14 +44,14 @@ def _minhash_oracle_sql(
     shingling, permutation constants (dedup._perm_params), band string
     keys, candidate self-join and exact Jaccard verify."""
     from streetview_naturevisibility_spark.operators.dedup import (
-        _MINHASH_PRIME,
+        _MINHASH_MOD,
         _perm_params,
     )
 
     rows = k // bands
     perms = _perm_params(k)
     mh_exprs = ", ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_PRIME}))"
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MINHASH_MOD}))"
         for a, b in perms
     )
     return f"""

@@ -34,8 +34,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-# deterministic odd multipliers for the k minhash permutations
-_MINHASH_PRIME = (1 << 61) - 1
+# the permutation domain: (a*h + b) mod 2^32 with a odd is a bijection
+# of the 32-bit hash space. The modulus MUST be <= the hash range —
+# an earlier draft reduced mod (2^61 - 1), but a*h+b < 2^60 never
+# wraps that modulus, so argmin was invariant across "permutations"
+# and the k-signature degenerated to one repeated hash (caught by a
+# systematic-recall audit: 4/28 strong pairs missed where LSH theory
+# allows ~0.1).
+_MINHASH_MOD = 1 << 32
 
 
 def _perm_params(k: int) -> list[tuple[int, int]]:
@@ -122,7 +128,7 @@ def minhash_signatures(
     def _perm(a: int, b: int):
         # factory: Spark infers HOF lambda arity from the signature, so
         # the closure must be a genuine 1-arg lambda
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_PRIME))
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_MOD))
 
     mins = [
         F.array_min(F.transform(F.col("hs"), _perm(a, b))) for a, b in _perm_params(k)
