@@ -82,6 +82,35 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
 ) WHERE jaccard >= {threshold!r}"""
 
 
+def _simhash_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB twin of simhash_near_dups(hash_method='md5'): identical
+    60-bit per-bit majority signature, 15-bit chunk buckets, popcount
+    verify."""
+    from streetview_naturevisibility_spark.operators.dedup import SIMHASH_MD5_BITS
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hs, h -> (h >> {b}) & 1)) > n"
+        f" THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(SIMHASH_MD5_BITS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS tk FROM documents),
+hsx AS (
+  SELECT id, list_transform(tk, s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)) AS hs,
+         CAST(len(tk) AS BIGINT) AS n
+  FROM t),
+sig AS (SELECT id, ({bit_terms}) AS sig FROM hsx),
+buckets AS (
+  SELECT id, sig, c.chunk, (sig >> (c.chunk * 15)) & 32767 AS cv
+  FROM sig, (SELECT unnest(range(0, 4)) AS chunk) c)
+SELECT id_a, id_b, hamming FROM (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         bit_count(CAST(xor(a.sig, b.sig) AS BIGINT)) AS hamming
+  FROM buckets a JOIN buckets b ON a.chunk = b.chunk AND a.cv = b.cv AND a.id < b.id
+) WHERE hamming <= {max_hamming}"""
+
+
 def _ann_lsh_oracle_sql(n_planes: int = 6, dim: int = 64, seed: int = 7) -> str:
     """DuckDB twin of ann_topk_lsh: the hyperplanes are deterministic
     constants (similarity.hyperplanes), so each signature bit is a
@@ -446,11 +475,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only; pytest oracle)."""
+    """SimHash near-dup pairs — oracle-exact via the portable md5
+    60-bit column-algebra signature (hash_method="md5"); the fnv64
+    NumPy fast path keeps its popcount pytest oracle."""
     from streetview_naturevisibility_spark.operators.dedup import simhash_near_dups
 
     docs = load(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3)
+    return simhash_near_dups(docs, max_hamming=3, hash_method="md5")
 
 
 def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -931,6 +962,7 @@ FROM s""",
         # explicit double math: DuckDB's list_cosine_similarity runs in
         # float32 and diverges from the engine's float64 HOF pipeline
         "minhash_lsh": _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5),
+        "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
         "sim_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -255,6 +255,36 @@ def hash_str64(s: str) -> int:
 simhash_udf = F.pandas_udf(lambda s: simhash_kernel(s), LongType())
 
 
+SIMHASH_MD5_BITS = 60  # '0x'+15 md5 hex chars -> 60-bit portable hash
+
+
+def simhash_sig_md5_col(text_col: str):
+    """Engine-portable SimHash signature as PURE column algebra: 60-bit
+    md5-based token hashes (the same portable hash as shingle_hash),
+    per-bit majority vote via one aggregate per bit. Wide but
+    mechanical — Catalyst handles it; the DuckDB twin is generated from
+    the same loop, so the contract variant is oracle-exact. The
+    vectorized NumPy kernel (simhash_udf) remains the fast path."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hs = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    )
+    n = F.size(hs).cast("long")
+
+    def _ones(bit: int):
+        # factory: Spark infers HOF lambda arity — must be a true 2-arg
+        # merge lambda (no default-arg closures)
+        def merge(acc, h):
+            return acc + F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1))
+
+        return F.aggregate(hs, F.lit(0).cast("long"), merge)
+
+    sig = F.lit(0).cast("long")
+    for b in range(SIMHASH_MD5_BITS):
+        sig = sig + F.when(_ones(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    return sig
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -262,20 +292,33 @@ def simhash_near_dups(
     max_hamming: int = 8,
     max_bucket: int | None = 10_000,
     return_metrics: bool = False,
+    hash_method: str = "fnv64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: bucket by 16-bit signature chunks
     (pigeonhole: any pair within hamming<=max_hamming over 64 bits
     shares at least one of 4 exact 16-bit chunks when max_hamming<=3;
     for larger radii this is a recall-bounded heuristic, documented),
     verify with exact popcount. Buckets above ``max_bucket`` drop with
-    metrics (see ``_cap_buckets``)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    metrics (see ``_cap_buckets``). ``hash_method="md5"`` switches to
+    the engine-portable 60-bit column-algebra signature (15-bit chunks,
+    oracle-exact in DuckDB); the default "fnv64" is the vectorized
+    NumPy fast path."""
+    if hash_method == "md5":
+        sig_col = simhash_sig_md5_col(text_col)
+        chunk_bits, n_bits = 15, SIMHASH_MD5_BITS
+    else:
+        sig_col = simhash_udf(F.col(text_col))
+        chunk_bits, n_bits = 16, 64
+    sig = df.select(F.col(id_col).alias("id"), sig_col.alias("sig"))
+    mask = (1 << chunk_bits) - 1
     chunks = []
-    for c in range(4):
+    for c in range(n_bits // chunk_bits):
         chunks.append(
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftrightunsigned(F.col("sig"), c * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
             )
         )
     buckets = sig.select("id", "sig", F.explode(F.array(*chunks)).alias("ck")).select(

@@ -394,3 +394,34 @@ class TestPersistedIndex:
         gp = got.toPandas()
         assert gp["id"].tolist() == direct["id"].tolist()
         assert np.allclose(gp["cosine"], direct["cosine"])
+
+
+class TestSimhashMd5Portable:
+    def test_column_algebra_signature_matches_hashlib_twin(self, spark):
+        """The portable 60-bit SimHash (pure column algebra) must equal
+        an independent hashlib/python recompute bit for bit."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "alpha beta gamma delta epsilon zeta eta theta",
+            "one",
+        ]
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id: long, text: string")
+        got = (
+            df.select("id", dedup.simhash_sig_md5_col("text").alias("sig"))
+            .orderBy("id")
+            .toPandas()
+        )
+        for i, t in enumerate(texts):
+            toks = sorted(set(t.split(" ")))
+            hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in toks]
+            n = len(hs)
+            sig = 0
+            for b in range(dedup.SIMHASH_MD5_BITS):
+                ones = sum((h >> b) & 1 for h in hs)
+                if 2 * ones > n:
+                    sig |= 1 << b
+            assert int(got["sig"].iloc[i]) == sig, t
