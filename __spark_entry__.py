@@ -82,6 +82,31 @@ SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
 ) WHERE jaccard >= {threshold!r}"""
 
 
+def _fingerprint_oracle_sql(window: int = 8) -> str:
+    """DuckDB twin of textops.fingerprint_col: same md5-60bit % 2^43
+    token hash, same Rabin-Karp fold per window, min over windows.
+    list_reduce starts from the first element, which equals the
+    init-0 fold because 0*B + h1 = h1."""
+    from streetview_naturevisibility_spark.operators.textops import (
+        FP_BASE,
+        FP_MOD_BITS,
+    )
+
+    mod = 1 << FP_MOD_BITS
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+hsx AS (
+  SELECT doc_id, list_transform(
+           tk, s -> CAST('0x' || substring(md5(s), 1, 15) AS BIGINT) % {mod}) AS hs
+  FROM t)
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(len(hs) - {window - 1}, 1) + 1),
+         i -> list_reduce(list_slice(hs, i, i + {window - 1}),
+                          (acc, h) -> (acc * {FP_BASE} + h) % {mod}))) AS fingerprint
+FROM hsx"""
+
+
 def _simhash_oracle_sql(max_hamming: int = 3) -> str:
     """DuckDB twin of simhash_near_dups(hash_method='md5'): identical
     60-bit per-bit majority signature, 15-bit chunk buckets, popcount
@@ -507,11 +532,13 @@ def q_text_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (rows-only; pytest oracle)."""
-    from streetview_naturevisibility_spark.operators.textops import fingerprint_udf
+    """Rolling-hash document fingerprint — oracle-exact via the
+    portable 43-bit JVM-HOF form (fingerprint_col); the uint64 NumPy
+    fast path (fingerprint_udf) keeps its exact pytest value oracle."""
+    from streetview_naturevisibility_spark.operators.textops import fingerprint_col
 
     docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_udf(F.col("text")).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -962,6 +989,7 @@ FROM s""",
         # explicit double math: DuckDB's list_cosine_similarity runs in
         # float32 and diverges from the engine's float64 HOF pipeline
         "minhash_lsh": _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5),
+        "doc_fingerprint": _fingerprint_oracle_sql(window=8),
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
         "sim_topk": """

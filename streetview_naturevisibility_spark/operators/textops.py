@@ -116,6 +116,42 @@ def _fingerprint_kernel(texts: pd.Series, window: int = 8) -> pd.Series:
 
 fingerprint_udf = F.pandas_udf(lambda s: _fingerprint_kernel(s), LongType())
 
+# portable fingerprint domain: acc,h < 2^43 keeps (acc*B + h) < 2^63,
+# so ANSI long math never overflows and DuckDB BIGINT agrees exactly
+FP_BASE = 1000003
+FP_MOD_BITS = 43
+
+
+def fingerprint_col(text_col: str, window: int = 8):
+    """Engine-PORTABLE rolling-hash fingerprint as pure JVM HOFs (zero
+    Python): token hash = md5-60bit % 2^43, Rabin-Karp fold
+    (acc*B + h) % 2^43 over each ``window``-token run, min over runs
+    (documents shorter than the window fold their full run). The
+    oracle-exact contract twin of the uint64 NumPy fast path
+    (fingerprint_udf); same winnowing semantics, smaller hash domain."""
+    mod = F.lit(1 << FP_MOD_BITS)
+    toks = F.split(F.col(text_col), " ")
+    hs = F.transform(
+        toks,
+        lambda t: F.pmod(
+            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), mod
+        ),
+    )
+    n = F.size(hs)
+
+    def _roll(run):
+        return F.aggregate(
+            run,
+            F.lit(0).cast("long"),
+            lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, mod),
+        )
+
+    runs = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
+        lambda i: _roll(F.slice(hs, i, window)),
+    )
+    return F.array_min(runs)
+
 
 def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     cols = quality_score_cols(text_col)
