@@ -654,6 +654,37 @@ def q_gvi_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode->feature pipeline (rows-only; mapInPandas is
+    not SQL-expressible): REAL binary-PGM payloads derived
+    deterministically from doc_id, decoded by the pure-NumPy PNM
+    decoder, histogram-embedded. Pytest holds the decode roundtrip and
+    NumPy-recompute oracles (tests/test_multimodal.py)."""
+    import pandas as pd
+    from pyspark.sql.types import BinaryType
+
+    from streetview_naturevisibility_spark.operators.multimodal import (
+        image_features,
+        synth_pgm,
+    )
+
+    @F.pandas_udf(BinaryType())
+    def pgm_payload(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: bytearray(synth_pgm(int(i), w=24, h=16)))
+
+    docs = load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        pgm_payload(F.col("doc_id")).alias("payload"),
+        F.lit("image/x-portable-graymap").alias("mime"),
+        F.lit(24).alias("width"),
+        F.lit(16).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return image_features(media).select("media_id", "n_bytes", "sha256")
+
+
 def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isochrone union areas (reference F6, availability.py:937-958)
     over a derived street graph — rows-only (Dijkstra + flood fill are
@@ -1126,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlay_ratio": q_overlay_ratio,
         "gvi_score_docs": q_gvi_score_docs,
         "isochrone": q_isochrone,
+        "media_features": q_media_features,
         "events_window": q_events_window,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,

@@ -44,3 +44,100 @@ class TestMultimodal:
     def test_stub_decoder_raises_on_empty_payload(self):
         with pytest.raises(NotImplementedError):
             mm._fake_decode_image(b"", 4, 4)
+
+
+class TestRealDecoders:
+    def test_pgm_roundtrip_exact(self):
+        import numpy as np
+
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            decode_pnm,
+            synth_pgm,
+        )
+
+        for i in (0, 3, 9):
+            payload = synth_pgm(i, w=20, h=12)
+            grid = decode_pnm(payload)
+            yy, xx = np.mgrid[0:12, 0:20]
+            expect = ((xx * 7 + yy * 13 + i * 31) % 256).astype(np.uint8)
+            assert grid.shape == (12, 20)
+            assert (grid == expect).all()
+
+    def test_pgm_with_comment_header(self):
+        import numpy as np
+
+        from streetview_naturevisibility_spark.operators.multimodal import decode_pnm
+
+        body = bytes(range(6))
+        payload = b"P5\n# a comment\n3 2\n255\n" + body
+        grid = decode_pnm(payload)
+        assert (grid == np.arange(6, dtype=np.uint8).reshape(2, 3)).all()
+
+    def test_bmp_24bit(self):
+        import struct
+
+        import numpy as np
+
+        from streetview_naturevisibility_spark.operators.multimodal import decode_bmp
+
+        w, h = 3, 2  # stride = 12 (w*3=9 padded to 12)
+        px = np.arange(w * h * 3, dtype=np.uint8).reshape(h, w, 3)
+        stride = (w * 3 + 3) & ~3
+        rows = b""
+        for y in range(h - 1, -1, -1):  # bottom-up
+            rows += px[y].tobytes() + b"\x00" * (stride - w * 3)
+        header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+        header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+        grid = decode_bmp(header + rows)
+        assert grid.shape == (h, w)
+        assert (grid == px.mean(axis=2).astype(np.uint8)).all()
+
+    def test_wav_tone_dominant_frequency(self, spark):
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            decode_wav,
+            synth_wav,
+        )
+
+        payload = synth_wav(4)  # 200 + 4*100 = 600 Hz tone
+        samples, rate = decode_wav(payload)
+        assert rate == 8000 and len(samples) == 2000
+        import numpy as np
+
+        spec = np.abs(np.fft.rfft(samples))
+        dom = np.fft.rfftfreq(len(samples), 1 / rate)[spec.argmax()]
+        assert abs(dom - 600.0) < 8.0
+
+    def test_audio_features_pipeline(self, spark, media):
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            audio_features,
+        )
+
+        out = audio_features(media).orderBy("media_id").toPandas()
+        assert len(out) > 0
+        assert (out["sample_rate"] == 8000).all()
+        assert (out["duration_ms"] == 250).all()
+        # pure half-amplitude sine -> rms = 0.5/sqrt(2) ~ 0.3536
+        assert ((out["rms"] - 0.3536).abs() < 0.01).all()
+        # dominant frequency tracks the synth tone (media_id i -> 200 + (i%10)*100)
+        for r in out.itertuples():
+            expect = 200.0 + (r.media_id % 10) * 100.0
+            assert abs(r.dominant_hz - expect) < 8.0
+        assert all(abs(sum(e) - 1.0) < 1e-5 for e in out["embedding"])
+
+    def test_image_features_use_real_pgm_decode(self, spark, media):
+        """The synth fixture now ships REAL PGM payloads; the feature
+        histogram must equal a NumPy recompute of the decoded pixels."""
+        import numpy as np
+
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            decode_pnm,
+            image_features,
+        )
+
+        feats = image_features(media).orderBy("media_id").toPandas()
+        raw = {r.media_id: bytes(r.payload) for r in media.where("kind = 'image'").collect()}
+        assert len(feats) == len(raw) > 0
+        for r in feats.itertuples():
+            grid = decode_pnm(raw[r.media_id])
+            hist = np.histogram(grid, bins=16, range=(0, 256))[0] / grid.size
+            assert np.allclose(np.array(r.embedding), hist, atol=1e-6)
