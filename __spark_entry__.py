@@ -660,7 +660,6 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from doc_id, decoded by the pure-NumPy PNM
     decoder, histogram-embedded. Pytest holds the decode roundtrip and
     NumPy-recompute oracles (tests/test_multimodal.py)."""
-    import pandas as pd
     from pyspark.sql.types import BinaryType
 
     from streetview_naturevisibility_spark.operators.multimodal import (
@@ -668,9 +667,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_pgm,
     )
 
-    @F.pandas_udf(BinaryType())
-    def pgm_payload(ids: pd.Series) -> pd.Series:
-        return ids.map(lambda i: bytearray(synth_pgm(int(i), w=24, h=16)))
+    pgm_payload = F.pandas_udf(
+        lambda ids: ids.map(lambda i: bytearray(synth_pgm(int(i), w=24, h=16))),
+        BinaryType(),
+    )
 
     docs = load(spark, sf_dir, "documents")
     media = docs.select(
