@@ -61,21 +61,50 @@ def main() -> None:
     )
     sections.append(("Filtered scan: pushdown + pruning", q1, p1, ok1, n1))
 
-    # 2. kNN snap: broadcast join (pages never shuffled), partial agg
+    # 2. kNN snap (contract twin, sort_exact at this scale): broadcast
+    # join — the big pages side is never shuffled, no SMJ/NLJ
     gvi = D.spark_gvi(spark, sf_dir)
     p2 = plan_of(gvi)
     ok2, n2 = check(
         "knn snap",
         p2,
-        # full candidate stream must reduce via HashAggregate (phase 1
-        # min(dist)); the residual SortAggregate only sees rows that
-        # tie the winning distance (bounded by points count). The big
-        # pages side must join via broadcast hash, never SMJ/NLJ.
+        must=["BroadcastHashJoin"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    )
+    sections.append(
+        ("kNN snap join (contract twin): broadcast pages-side joins, no shuffle joins", gvi, p2, ok2, n2)
+    )
+
+    # 2b. FLAGSHIP pipeline reduce (two_phase default): the full
+    # candidate stream reduces via HashAggregate (phase-1 min(dist),
+    # map-side partial drains hot cells); the residual SortAggregate
+    # only sees winner-distance rows (bounded by the points count)
+    from streetview_naturevisibility_spark.operators.knn import knn_snap
+
+    pages_snap = D.spark_pages(spark, sf_dir).drop("cell_id").withColumnRenamed(
+        "scell_id", "cell_id"
+    )
+    flag = knn_snap(
+        D.spark_points(spark, sf_dir),
+        pages_snap,
+        max_distance=2 * D.SNAP_RADIUS,
+        zoom=D.SNAP_ZOOM,
+    )
+    p2b = plan_of(flag)
+    ok2b, n2b = check(
+        "flagship two-phase reduce",
+        p2b,
         must=["BroadcastHashJoin", "HashAggregate"],
         must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
     )
     sections.append(
-        ("kNN snap join: broadcast pages-side joins + hash phase-1 reduce", gvi, p2, ok2, n2)
+        (
+            "Flagship kNN reduce (two_phase default): hash phase-1 min(dist)",
+            flag,
+            p2b,
+            ok2b,
+            n2b,
+        )
     )
 
     # 3. tile assignment is pure codegen (no Python eval)
