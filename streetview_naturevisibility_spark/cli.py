@@ -129,6 +129,13 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     print("R2 value:", m.avg_r2)
     print("RMSE:", m.avg_rmse)
     print("AIC value:", m.aic)
+    # the GAM half of the reference printout (predict_missing_gvi.py:139-144)
+    from .operators.regression import gam_cv_metrics
+
+    g = gam_cv_metrics(known_feats, feature="ndvi", target="gvi")
+    print("<----- Linear GAM ----->")
+    print("RMSE:", g["avg_rmse"])
+    print("AIC value:", g["aic"])
     print("gap-fill complete -> gvi_filled")
 
 
