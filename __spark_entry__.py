@@ -168,6 +168,50 @@ SELECT id, round(cosine, 6) AS cosine FROM (
 ) ORDER BY cosine DESC, id LIMIT 10"""
 
 
+def _ivf_oracle_sql(n_lists: int = 8, dim: int = 64, n_probe: int = 2, seed: int = 21, k: int = 10) -> str:
+    """DuckDB twin of ivf_topk_pinned: the centroids are deterministic
+    literals (similarity.pinned_centroids), so list assignment is
+    list_position(argmin of literal squared distances) and probe
+    selection is ORDER BY distance, index LIMIT n_probe — the exact
+    expressions the engine evaluates (same sequential-fold FP order)."""
+    from streetview_naturevisibility_spark.operators.similarity import pinned_centroids
+
+    cents = pinned_centroids(n_lists, dim, seed)
+    lit = lambda c: "[" + ", ".join(repr(float(v)) for v in c) + "]"  # noqa: E731
+
+    def sqd(vec_expr: str, c) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, {lit(c)}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+        )
+
+    cq_rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS i, {sqd('qv', cents[i])} AS d FROM q" for i in range(n_lists)
+    )
+    dl = "[" + ",\n    ".join(sqd("embedding", c) for c in cents) + "]"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cq AS (
+  {cq_rows}
+),
+probe AS (SELECT i FROM cq ORDER BY d, i LIMIT {n_probe}),
+assigned AS (
+  SELECT vec_id, embedding, list_position(dl, list_min(dl)) - 1 AS list_id
+  FROM (SELECT vec_id, embedding, {dl} AS dl FROM embeddings)
+)
+SELECT id, round(cosine, 6) AS cosine FROM (
+  SELECT a.vec_id AS id,
+         list_sum(list_transform(list_zip(a.embedding, q.qv),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv,
+                  v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM assigned a, q
+  WHERE a.list_id IN (SELECT i FROM probe)
+) ORDER BY cosine DESC, id LIMIT {k}"""
+
+
 # --------------------------------------------------------------- queries
 def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = D.spark_pages(spark, sf_dir)
@@ -566,13 +610,18 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (k-means coarse quantizer + probed lists;
-    rows-only: pytest asserts cosines are exact and rank-1 is the query
-    vector)."""
-    from streetview_naturevisibility_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k — oracle-exact via PINNED literal
+    centroids (similarity.ivf_topk_pinned): list assignment and probe
+    selection are pure JVM Column expressions the DuckDB twin
+    (_ivf_oracle_sql) restates verbatim; zero UDFs in the plan. The
+    production k-means path (similarity.ivf_topk / build_ivf_index)
+    keeps its exact-cosine + determinism pytest oracle."""
+    from streetview_naturevisibility_spark.operators.similarity import ivf_topk_pinned
 
     emb = load(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, _query_vector(spark, sf_dir), k=10, n_lists=8, n_probe=2)
+    return ivf_topk_pinned(
+        emb, _query_vector(spark, sf_dir), k=10, n_lists=8, n_probe=2
+    )
 
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1023,6 +1072,7 @@ FROM s""",
         "doc_fingerprint": _fingerprint_oracle_sql(window=8),
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
+        "ivf_topk": _ivf_oracle_sql(n_lists=8, dim=64, n_probe=2, seed=21, k=10),
         "sim_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT id, round(cosine, 6) AS cosine FROM (

@@ -125,6 +125,12 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     # the reference's model-selection printout
     # (predict_missing_gvi.py:81-85: cv=5 R2 / RMSE / AIC)
     m = gap_fill_cv_metrics(known_feats, feature="ndvi", target="gvi").collect()[0]
+    if m.n_known < 5 or m.avg_rmse is None or m.avg_r2 is None:
+        print(
+            f"WARNING: CV metrics degenerate (n_known={m.n_known}; "
+            "constant-x training fold or constant-y test fold) — "
+            "metrics below may be null; gap-fill output itself is unaffected"
+        )
     print("<----- Linear Regression ----->")
     print("R2 value:", m.avg_r2)
     print("RMSE:", m.avg_rmse)

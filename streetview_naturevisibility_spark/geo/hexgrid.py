@@ -57,11 +57,20 @@ def _axial_frac(x: np.ndarray, y: np.ndarray, size: float) -> tuple[np.ndarray, 
     return qf, rf
 
 
+def _half_up(a: np.ndarray) -> np.ndarray:
+    """round-half-UP (floor(a + 0.5)) — the one rounding form that is
+    cheap to state identically in NumPy and in the DuckDB oracle SQL
+    (np.round is half-to-even, DuckDB round() is half-away-from-zero;
+    lattice-aligned inputs land exactly on .5 boundaries, so the
+    convention must match bit-for-bit across both twins)."""
+    return np.floor(a + 0.5)
+
+
 def _cube_round(qf: np.ndarray, rf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     sf = -qf - rf
-    q = np.round(qf)
-    r = np.round(rf)
-    s = np.round(sf)
+    q = _half_up(qf)
+    r = _half_up(rf)
+    s = _half_up(sf)
     dq = np.abs(q - qf)
     dr = np.abs(r - rf)
     ds = np.abs(s - sf)
@@ -125,15 +134,16 @@ def hex_cell_sql_ctes(
     the fractional axial coords + naive rounds, ``hexcell`` the
     corrected packed id per ``key`` row of ``src``. The r-correction
     may read the UNcorrected q0 because fix_r implies fix_q is false
-    (same shortcut as the NumPy kernel's where-chain). Continuous
-    hash-derived coords never land on exact .5, so round() tie
-    conventions cannot diverge between engines."""
+    (same shortcut as the NumPy kernel's where-chain). Rounding is
+    floor(v + 0.5) — half-UP — in BOTH twins (``_half_up`` in the NumPy
+    kernel), so even lattice-aligned inputs that land exactly on .5
+    cell boundaries assign identically across engines."""
     qf = f"(({_SQRT3!r} / 3.0 * ({x_expr}) - ({y_expr}) / 3.0) / {size!r})"
     rf = f"((2.0 / 3.0 * ({y_expr})) / {size!r})"
     return f"""
 hx AS (
   SELECT {key}, qf, rf, -qf - rf AS sf,
-         round(qf) AS q0, round(rf) AS r0, round(-qf - rf) AS s0
+         floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0, floor(-qf - rf + 0.5) AS s0
   FROM (SELECT {key}, {qf} AS qf, {rf} AS rf FROM {src})
 ),
 hexcell AS (

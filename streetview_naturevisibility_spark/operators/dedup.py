@@ -16,14 +16,17 @@ Four families, all Spark-first:
 Scale notes: candidate generation is the only shuffle (by band/bucket
 key); verification joins texts back by doc id. Every bucket self-join
 routes through ``_cap_buckets``: singleton buckets are dropped (classic
-LSH pruning) and buckets larger than ``max_bucket`` are dropped
-entirely — the self-join is quadratic in bucket size, so one
-boilerplate bucket with 10^6 members would otherwise emit 10^12
-candidate pairs. The cap is log-and-drop, never silent: pass
-``return_metrics=True`` to also get a lazy 1-row DataFrame counting
-total/dropped buckets and dropped members. Documents whose only
-collisions lived in dropped buckets are exact/boilerplate-duplicate
-territory — `exact_dedup` (a linear groupBy) owns that case.
+LSH pruning) and, when a cap is requested, buckets larger than
+``max_bucket`` are dropped entirely — the self-join is quadratic in
+bucket size, so one boilerplate bucket with 10^6 members would
+otherwise emit 10^12 candidate pairs. The cap is OPT-IN
+(``max_bucket=None`` default = exact recall, what the contract oracles
+check) and log-and-drop, never silent: pass ``return_metrics=True`` to
+also get a lazy 1-row DataFrame counting total/dropped buckets and
+dropped members, so a capped run is always distinguishable from an
+exact one. Non-identical near-duplicates whose only shared buckets
+exceed a cap ARE lost by a capped run — that is the recall/cost trade
+the caller makes explicitly, not a default.
 """
 
 from __future__ import annotations
@@ -144,7 +147,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     n: int = 3,
     jaccard_threshold: float = 0.5,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
     return_metrics: bool = False,
     hash_method: str = "xxhash64",
 ) -> DataFrame:
@@ -153,7 +156,14 @@ def minhash_lsh_pairs(
     ``return_metrics`` also the lazy drop-metrics frame (see
     ``_cap_buckets``). ``hash_method="md5"`` makes every stage
     engine-portable (string band keys, md5 shingle hash) so a DuckDB
-    oracle can reproduce the pipeline exactly."""
+    oracle can reproduce the pipeline exactly.
+
+    ``max_bucket`` defaults to None (EXACT: no bucket is dropped, the
+    contract/oracle behavior). At 100 TB scale pass a cap (e.g.
+    10_000) — the bucket self-join is quadratic and one boilerplate
+    bucket would otherwise emit ~10^12 pairs — and read the drop
+    metrics via ``return_metrics=True`` so a capped run is always
+    distinguishable from an exact one."""
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, n, hash_method)
     band_cols = []
@@ -290,7 +300,7 @@ def simhash_near_dups(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
-    max_bucket: int | None = 10_000,
+    max_bucket: int | None = None,
     return_metrics: bool = False,
     hash_method: str = "fnv64",
 ) -> DataFrame:
@@ -298,8 +308,9 @@ def simhash_near_dups(
     (pigeonhole: any pair within hamming<=max_hamming over 64 bits
     shares at least one of 4 exact 16-bit chunks when max_hamming<=3;
     for larger radii this is a recall-bounded heuristic, documented),
-    verify with exact popcount. Buckets above ``max_bucket`` drop with
-    metrics (see ``_cap_buckets``). ``hash_method="md5"`` switches to
+    verify with exact popcount. ``max_bucket`` defaults to None (exact,
+    the contract behavior); at web scale pass a cap and read the drop
+    metrics via ``return_metrics=True`` (see ``_cap_buckets``). ``hash_method="md5"`` switches to
     the engine-portable 60-bit column-algebra signature (15-bit chunks,
     oracle-exact in DuckDB); the default "fnv64" is the vectorized
     NumPy fast path."""

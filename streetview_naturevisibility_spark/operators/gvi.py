@@ -89,10 +89,17 @@ def score_snapped_points(
     from pyspark.sql import Window
 
     page_cols = ["page_url", "text"]
-    order_col = "warc_ts" if "warc_ts" in pages.columns else "text"
-    if order_col == "warc_ts":
+    # Total-order window: warc_ts alone is not a total order (two
+    # snapshots of one url can share a timestamp), which would make
+    # row_number's winner nondeterministic across partitionings and
+    # break checkpoint-resume equality / contract reruns. Tie-break by
+    # text; equal (warc_ts, text) rows are interchangeable payloads.
+    if "warc_ts" in pages.columns:
         page_cols.append("warc_ts")
-    w = Window.partitionBy("point_id").orderBy(order_col)
+        order_cols = ["warc_ts", "text"]
+    else:
+        order_cols = ["text"]
+    w = Window.partitionBy("point_id").orderBy(*order_cols)
     scored_hits = (
         pages.select(F.col("url").alias("page_url"), *[c for c in page_cols if c != "page_url"])
         .join(F.broadcast(hits), "page_url")

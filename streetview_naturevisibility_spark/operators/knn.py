@@ -131,24 +131,32 @@ def _snap_reduce_join(
         F.col("_pano").alias("pano"),
     )
     if reduce == "two_phase":
-        # The DEFAULT reduce. min(struct) has no mutable primitive
-        # buffer, so Spark falls back to SortAggregate — fine when the
-        # post-filter candidate set is sparse, but a per-partition sort
-        # of ALL candidates in dense regions. Measured (r2, local[32]):
-        # on an adversarial hot cell (4M pages + 50 points in ONE z14
-        # cell, 250 m bound -> ~200M candidate pairs) two_phase runs
-        # 32.6 s vs sort_exact 83.8 s (2.6x); on SPARSE candidates the
-        # ranking flips (1.7 s vs 3.4 s at 8M uniformly-spread pages)
-        # because the persist adds a constant job boundary — callers
-        # with provably sparse candidates may pass "sort_exact".
-        # Two-phase:
+        # The DEFAULT reduce, in two phases:
         # (1) min(dist) per point — pure primitive, hash partial+final;
-        # (2) min(struct) only over the rows matching the winning
-        # distance (>=1 per point, ~1 in practice). The candidate set
-        # is persisted so the pages scan happens exactly once (callers
-        # issuing many independent snaps in one long-lived session —
-        # e.g. streaming micro-batches — should pass
-        # reduce="sort_exact" to avoid unbounded cache accumulation).
+        # (2) min(struct) tie-break only over rows matching the winning
+        #     distance (>=1 per point, ~1 in practice).
+        # Rationale: the single-phase min(struct) (the "sort_exact"
+        # branch below) has no mutable primitive buffer, so Spark runs
+        # it as SortAggregate — a per-partition sort of ALL candidates.
+        # Measured (r2, local[32]): on an adversarial hot cell (4M
+        # pages + 50 points in ONE z14 cell, 250 m bound -> ~200M
+        # candidate pairs) two_phase runs 32.6 s vs sort_exact 83.8 s
+        # (2.6x); on SPARSE candidates the ranking flips (1.7 s vs
+        # 3.4 s at 8M uniformly-spread pages) because materializing the
+        # candidate set adds a constant job boundary — callers with
+        # provably sparse candidates may pass reduce="sort_exact".
+        #
+        # Lifecycle: the candidate set is persisted so the pages scan
+        # runs exactly once across the two phases, the (small, winners-
+        # only) ``best`` frame is eagerly localCheckpoint-ed to cut the
+        # lineage back to cand, and cand is unpersisted BEFORE this
+        # function returns — repeated snaps in one long-lived session
+        # leave the CacheManager empty (pytest-asserted in
+        # tests/test_knn.py), no call-site clearCache() convention
+        # needed. The checkpointed winners (<= one row per point) are
+        # reclaimed by Spark's ContextCleaner when the returned
+        # DataFrame is dropped. Note this makes the snap compute at
+        # CALL time rather than first-action time.
         cand = cand.persist()
         md = cand.groupBy("point_id").agg(F.min("_dist").alias("_md"))
         best = (
@@ -156,7 +164,8 @@ def _snap_reduce_join(
             .where(F.col("_dist") == F.col("_md"))
             .groupBy("point_id")
             .agg(F.min(best_struct).alias("best"))
-        )
+        ).localCheckpoint(eager=True)
+        cand.unpersist()
     elif salt:
         # Explicit two-stage salted reduce for adversarially hot cells:
         # pre-reduce per (point_id, salt bucket), then final reduce.

@@ -91,7 +91,11 @@ def gap_fill_cv_metrics(
     ry = F.col("tsy") - F.col("sy")
     rxx = F.col("tsxx") - F.col("sxx")
     rxy = F.col("tsxy") - F.col("sxy")
-    slope = (rn * rxy - rx * ry) / (rn * rxx - rx * rx)
+    # Degenerate-fold guards: a training split with constant x has
+    # rn*rxx - rx*rx == 0 (no slope is identifiable) — emit null
+    # instead of Inf/NaN propagating silently into the averages.
+    sdenom = rn * rxx - rx * rx
+    slope = (rn * rxy - rx * ry) / F.when(sdenom != 0, sdenom)
     icept = (ry - slope * rx) / rn
     fitted = j.select(
         "n", "sx", "sy", "sxx", "sxy", "syy", "tn",
@@ -107,10 +111,11 @@ def gap_fill_cv_metrics(
         + F.col("a") * F.col("a") * F.col("n")
         + F.col("b") * F.col("b") * F.col("sxx")
     )
+    # constant-y test fold: sst == 0 makes R² undefined — null, not Inf
     sst = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
     scored = fitted.select(
         F.sqrt(ssr / F.col("n")).alias("rmse"),
-        (F.lit(1.0) - ssr / sst).alias("r2"),
+        (F.lit(1.0) - ssr / F.when(sst != 0, sst)).alias("r2"),
         "tn",
     )
     k_params = 2.0  # slope + intercept

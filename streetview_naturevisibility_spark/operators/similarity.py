@@ -238,6 +238,81 @@ def kmeans_fit(
     return centroids
 
 
+def pinned_centroids(n_lists: int, dim: int, seed: int = 21) -> np.ndarray:
+    """Deterministic data-INdependent coarse quantizer: unit-normalized
+    seeded gaussian directions. Since the corpus embeddings are unit
+    vectors, |c|^2 is constant across centroids and argmin d^2 ==
+    argmax v.c — direction-balanced lists without fitting. Used by the
+    oracle-exact contract variant (``ivf_topk_pinned``); production
+    keeps the k-means fit (``build_ivf_index``) for data-adapted
+    lists."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_lists, dim)
+    return c / np.sqrt((c**2).sum(axis=1, keepdims=True))
+
+
+def sq_dist_col(vec_col, centroid) -> "F.Column":
+    """Squared euclidean distance to a literal centroid as a JVM
+    higher-order fold — sequential left-to-right sum, the same FP
+    evaluation order DuckDB's list_sum(list_transform(...)) uses, so an
+    oracle can reproduce the value bit-for-bit."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec_col, c, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_assign_col(vec_col, centroids: np.ndarray):
+    """Nearest-centroid list id as pure Column math: array of literal
+    squared distances, argmin = 0-based position of the first minimum
+    (ties -> lowest list id, matching DuckDB list_position)."""
+    d = F.array(*[sq_dist_col(vec_col, c) for c in centroids])
+    return (F.array_position(d, F.array_min(d)) - F.lit(1)).cast("int")
+
+
+def _seq_sq_dist(a, b) -> float:
+    """Driver-side twin of ``sq_dist_col``: strict sequential fold in
+    Python floats (IEEE double) — NOT np.sum, whose pairwise summation
+    could diverge in the last ulp and flip a probe-ranking tie."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        acc += d * d
+    return acc
+
+
+def ivf_topk_pinned(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 21,
+) -> DataFrame:
+    """IVF top-k with PINNED literal centroids — the oracle-exact
+    contract form: no k-means fit, no training-sample collect, no UDF
+    anywhere in the plan. Assignment and probe selection are literal
+    expressions a DuckDB twin restates verbatim
+    (``__spark_entry__._ivf_oracle_sql``); whole-stage codegen end to
+    end. Probe lists are chosen driver-side from the same literals with
+    the same sequential-fold arithmetic."""
+    centroids = pinned_centroids(n_lists, len(query), seed)
+    qd = [_seq_sq_dist(query, c) for c in centroids]
+    # stable argsort: ties -> lowest list id (SQL twin: ORDER BY d, i)
+    probe = sorted(range(n_lists), key=lambda i: (qd[i], i))[:n_probe]
+    cand = df.where(ivf_assign_col(F.col(vec_col), centroids).isin([int(p) for p in probe]))
+    return (
+        cand.select(F.col(id_col).alias("id"), cosine_col(F.col(vec_col), query).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("id"))
+        .limit(k)
+        .select("id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def make_ivf_assign_udf(centroids: np.ndarray):
     """list id of the nearest centroid per vector (one matmul/batch)."""
 

@@ -120,10 +120,11 @@ def stream_snap_pages(
     points = points.cache()
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        # sort_exact: the default two_phase reduce persists its
-        # candidate set, which would accumulate one cached RDD per
-        # micro-batch in a long-lived stream; batches are small, so the
-        # SortAggregate fallback is the right trade here.
+        # sort_exact: a perf choice, not a lifecycle requirement —
+        # two_phase now unpersists its candidate set before returning
+        # (knn.py), but it still pays an eager materialization per
+        # call; micro-batches are small and sparse, so the single-pass
+        # SortAggregate is the right trade here.
         snapped = knn_snap(
             points, batch, max_distance=max_distance, zoom=zoom, reduce="sort_exact"
         )

@@ -208,6 +208,41 @@ class TestIVF:
         b = similarity.ivf_topk(emb.repartition(9), q, k=5).toPandas()
         assert a["id"].tolist() == b["id"].tolist()
 
+    def test_ivf_pinned_matches_numpy_restricted_bruteforce(self, spark):
+        """ivf_topk_pinned (the oracle-exact contract variant) must
+        equal a NumPy brute-force ranking restricted to the probed
+        lists, with the same literal centroids + assignment rule."""
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 7).first().embedding)
+        got = similarity.ivf_topk_pinned(emb, q, k=10, n_lists=8, n_probe=2).toPandas()
+
+        cents = similarity.pinned_centroids(8, 64, seed=21)
+        pdf = emb.toPandas()
+        mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        ids = pdf["vec_id"].to_numpy()
+        d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        qv = np.asarray(q, dtype=np.float64)
+        qd = ((cents - qv) ** 2).sum(axis=1)
+        probe = set(np.argsort(qd, kind="stable")[:2].tolist())
+        mask = np.isin(assign, list(probe))
+        cos = (mat[mask] @ qv) / (
+            np.sqrt((mat[mask] ** 2).sum(axis=1)) * np.linalg.norm(qv)
+        )
+        order = sorted(zip(-cos, ids[mask]))[:10]
+        assert got["id"].tolist() == [int(i) for _, i in order]
+        for r, (negc, _) in zip(got.itertuples(), order):
+            assert abs(-negc - r.cosine) < 1e-5
+        # lists are direction-balanced: the probed subset is a strict
+        # subset of the corpus (the operator actually pruned)
+        assert mask.sum() < len(ids)
+
+    def test_ivf_pinned_plan_has_no_python_udf(self, spark):
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        q = list(emb.where(F.col("vec_id") == 7).first().embedding)
+        plan = similarity.ivf_topk_pinned(emb, q, k=10)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
 
 class TestSkewCap:
     """Adversarial boilerplate skew: one bucket holding 50% of docs must

@@ -140,8 +140,10 @@ class TestKnnReduceVariants:
         pages_raw = spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet"))
         points = sample_points(roads, spacing=50)
         pages = prepare_pages(pages_raw.drop("lon", "lat"), keep_text=False)
+        # snapped fixture uses the two_phase DEFAULT; compute the
+        # single-pass sort_exact variant here and assert identity
         two = (
-            knn_snap(points, pages, max_distance=50.0, reduce="two_phase")
+            knn_snap(points, pages, max_distance=50.0, reduce="sort_exact")
             .orderBy("point_id")
             .toPandas()
         )
@@ -150,3 +152,25 @@ class TestKnnReduceVariants:
         b = snapped["snap_distance"].to_numpy(dtype=float)
         assert (np.isnan(a) == np.isnan(b)).all()
         assert np.allclose(a[~np.isnan(a)], b[~np.isnan(b)])
+
+    def test_two_phase_leaves_cache_empty(self, spark, fixture_dir):
+        """Lifecycle contract: repeated snaps in one session must not
+        accumulate CacheManager entries (the r2 footgun: cand.persist()
+        was never unpersisted, so long-lived drivers leaked cached
+        candidate sets and every call site needed clearCache())."""
+        roads = spark.read.parquet(os.path.join(fixture_dir, "roads.parquet"))
+        pages_raw = spark.read.parquet(os.path.join(fixture_dir, "web_pages.parquet"))
+        points = sample_points(roads, spacing=50)
+        pages = prepare_pages(pages_raw.drop("lon", "lat"), keep_text=False)
+
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        spark.catalog.clearCache()
+        assert cache_mgr.isEmpty()
+        n0 = None
+        for _ in range(3):
+            out = knn_snap(points, pages, max_distance=50.0, reduce="two_phase")
+            n = out.count()
+            n0 = n if n0 is None else n0
+            assert n == n0
+            # the candidate persist must be gone by the time the call returns
+            assert cache_mgr.isEmpty(), "two_phase leaked a CacheManager entry"

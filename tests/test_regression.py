@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from streetview_naturevisibility_spark.operators.regression import (
     LinearGAM1D,
     fit_ols_normal_equations,
+    gap_fill_cv_metrics,
     gap_fill_gam,
     gap_fill_linear,
 )
@@ -143,3 +144,37 @@ class TestCVMetrics:
         assert gam["avg_rmse"] == pytest.approx(float(np.mean(rmses)), abs=1e-12)
         # the reference's README finding: GAM beats linear on GVI data
         assert gam["avg_rmse"] < lin.avg_rmse
+
+
+class TestDegenerateCV:
+    def test_constant_x_folds_yield_null_not_inf(self, spark):
+        """ADVICE r2: a training split with constant x used to divide
+        by zero (slope denominator) -> Inf/NaN propagated into the
+        averages. Guarded denominators must emit null instead."""
+        pdf = pd.DataFrame(
+            {
+                "point_id": range(10),
+                "ndvi": [1.0] * 10,  # constant x everywhere
+                "gvi": [float(i % 3) for i in range(10)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        row = gap_fill_cv_metrics(df, "ndvi", "gvi", folds=5).collect()[0]
+        assert row.n_known == 10
+        # every fold is degenerate -> averages are null, never Inf/NaN
+        assert row.avg_rmse is None or not np.isinf(row.avg_rmse)
+        assert row.avg_r2 is None
+
+    def test_constant_y_test_fold_r2_null(self, spark):
+        """A constant-y test fold has sst == 0 -> R^2 undefined (null),
+        while RMSE stays finite; non-degenerate folds still average."""
+        # y constant within the first contiguous fold only
+        y = [5.0, 5.0] + [float(i) for i in range(8)]
+        pdf = pd.DataFrame(
+            {"point_id": range(10), "ndvi": [float(i) for i in range(10)], "gvi": y}
+        )
+        df = spark.createDataFrame(pdf)
+        row = gap_fill_cv_metrics(df, "ndvi", "gvi", folds=5).collect()[0]
+        assert row.avg_rmse is not None and np.isfinite(row.avg_rmse)
+        # avg_r2 averages the 4 non-degenerate folds (nulls ignored)
+        assert row.avg_r2 is not None and np.isfinite(row.avg_r2)
