@@ -11,6 +11,7 @@ pytest NumPy oracles and appear here as rows-only checks.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -210,6 +211,23 @@ SELECT id, round(cosine, 6) AS cosine FROM (
   FROM assigned a, q
   WHERE a.list_id IN (SELECT i FROM probe)
 ) ORDER BY cosine DESC, id LIMIT {k}"""
+
+
+def _golden_sql(name: str) -> str:
+    """Golden-table oracle for queries whose algorithm plain SQL cannot
+    restate (GVI scorer, isochrone, media decode): an INDEPENDENT
+    scalar implementation (tests/oracle.py ports; see
+    tools/make_golden.py) is materialized as parquet per sf directory
+    and the oracle simply selects it, so the driver's value-hash gate
+    compares engine output against independently computed values.
+
+    The driver runs at sf0.01 (the default); tools/check_contract.py
+    points SPARK_GRAFT_ORACLE_SF_DIR at whatever sf it checks."""
+    from tools.make_golden import ensure_golden
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    path = ensure_golden(name, sf_dir)
+    return f"SELECT * FROM read_parquet('{path}')"
 
 
 # --------------------------------------------------------------- queries
@@ -685,8 +703,10 @@ def q_overlay_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_gvi_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full reference GVI scorer (label grid, RLE, peaks, crops)
-    over documents.text (rows-only: pytest holds the NumPy oracle)."""
+    """The full reference GVI scorer (label grid, RLE, peaks, crops,
+    modules/process_data.py:221-300) over documents.text — value-exact
+    against the golden table computed by the INDEPENDENT scalar port
+    (tests/oracle.oracle_gvi_score via tools/make_golden.py)."""
     from streetview_naturevisibility_spark.operators.gvi import make_gvi_udf
 
     docs = load(spark, sf_dir, "documents")
@@ -704,20 +724,29 @@ def q_gvi_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode->feature pipeline (rows-only; mapInPandas is
-    not SQL-expressible): REAL binary-PGM payloads derived
-    deterministically from doc_id, decoded by the pure-NumPy PNM
-    decoder, histogram-embedded. Pytest holds the decode roundtrip and
-    NumPy-recompute oracles (tests/test_multimodal.py)."""
+    """Multimodal decode->feature pipeline: REAL binary-PGM payloads
+    derived deterministically from doc_id, decoded by the pure-NumPy
+    PNM decoder, histogram-embedded. Value-exact against the golden
+    table (tools/make_golden.golden_media_features: independent scalar
+    PGM synth + separate parser + recomputed bin-0 fraction), covering
+    payload bytes (sha256), size, and the DECODED histogram feature;
+    pytest additionally holds decode-roundtrip oracles."""
     from pyspark.sql.types import BinaryType
 
     from streetview_naturevisibility_spark.operators.multimodal import (
         image_features,
         synth_pgm,
+        synth_png,
     )
 
-    pgm_payload = F.pandas_udf(
-        lambda ids: ids.map(lambda i: bytearray(synth_pgm(int(i), w=24, h=16))),
+    # even ids: binary PGM; odd ids: REAL zlib-compressed PNG (all 5
+    # scanline filters exercised per image) — both decoded for real
+    payload_udf = F.pandas_udf(
+        lambda ids: ids.map(
+            lambda i: bytearray(
+                synth_pgm(int(i), w=24, h=16) if int(i) % 2 == 0 else synth_png(int(i), w=24, h=16)
+            )
+        ),
         BinaryType(),
     )
 
@@ -725,20 +754,31 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
-        pgm_payload(F.col("doc_id")).alias("payload"),
-        F.lit("image/x-portable-graymap").alias("mime"),
+        payload_udf(F.col("doc_id")).alias("payload"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("image/x-portable-graymap"))
+        .otherwise(F.lit("image/png"))
+        .alias("mime"),
         F.lit(24).alias("width"),
         F.lit(16).alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    return image_features(media).select("media_id", "n_bytes", "sha256")
+    return image_features(media).select(
+        "media_id",
+        "n_bytes",
+        "sha256",
+        # first histogram bin (pixels in [0,16) / size, float32) — a
+        # real decoded-value feature the golden recomputes independently
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("bin0_frac"),
+    )
 
 
 def q_isochrone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isochrone union areas (reference F6, availability.py:937-958)
-    over a derived street graph — rows-only (Dijkstra + flood fill are
-    not SQL-expressible; the exact-cell oracle lives in
-    tests/test_isochrone.py)."""
+    over a derived street graph — value-exact against the golden table
+    computed by the brute-force oracle (tests/oracle.
+    oracle_isochrone_cells: plain-dict Dijkstra + scalar segment
+    distances + BFS exterior fill, over the DuckDB twin of the derived
+    points)."""
     from streetview_naturevisibility_spark.operators.isochrone import (
         isochrone_area,
         isochrone_cells,
@@ -1073,6 +1113,11 @@ FROM s""",
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
         "ivf_topk": _ivf_oracle_sql(n_lists=8, dim=64, n_probe=2, seed=21, k=10),
+        # golden-table oracles: independent scalar implementations
+        # materialized as parquet (tools/make_golden.py); value-exact
+        "gvi_score_docs": _golden_sql("gvi_score_docs"),
+        "isochrone": _golden_sql("isochrone"),
+        "media_features": _golden_sql("media_features"),
         "sim_topk": """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT id, round(cosine, 6) AS cosine FROM (

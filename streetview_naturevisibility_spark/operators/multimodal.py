@@ -2,11 +2,13 @@
 metadata.
 
 Decoders: REAL for every format decodable without external libraries —
-binary PGM/PPM and uncompressed 24-bit BMP (pure NumPy), PCM WAV
-(stdlib ``wave`` + NumPy, with rfft spectral features). Compressed
-formats (PNG/JPEG/MP4) fall back to a clearly-marked deterministic
-fake, since PIL/ffmpeg are not in this container; swapping it in is a
-one-function change on the executors. All the Spark-side plumbing —
+binary PGM/PPM and uncompressed 24-bit BMP (pure NumPy), 8-bit
+non-interlaced PNG (stdlib ``zlib`` inflate + NumPy unfiltering of all
+5 scanline filters), PCM WAV (stdlib ``wave`` + NumPy, with rfft
+spectral features). Formats requiring actual codecs (JPEG/MP4) fall
+back to a clearly-marked deterministic fake, since PIL/ffmpeg are not
+in this container; swapping it in is a one-function change on the
+executors. All the Spark-side plumbing —
 schemas, Arrow batch shapes, mapInPandas iteration, partition-size
 control, the downstream feature pipeline — is identical either way.
 
@@ -137,10 +139,152 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL decoder for non-interlaced 8-bit PNG (grayscale / RGB /
+    RGBA / gray+alpha), stdlib ``zlib`` + NumPy: concatenate IDAT,
+    inflate, undo the 5 scanline filters (None/Sub/Up/Average/Paeth),
+    average color channels to a (h, w) uint8 grayscale grid. No PIL —
+    PNG is just zlib-compressed filtered scanlines."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload truncated")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = lines[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for r in range(h):
+        f = int(filters[r])
+        cur = lines[r, 1:].astype(np.int32)
+        up = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, dtype=np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + up) & 0xFF
+        else:  # Sub / Average / Paeth need the in-row left neighbor
+            rec = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0  # left
+                b = up[i]  # up
+                c = int(out[r - 1, i - bpp]) if (r > 0 and i >= bpp) else 0  # up-left
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) // 2
+                elif f == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                rec[i] = (cur[i] + pred) & 0xFF
+        out[r] = rec.astype(np.uint8)
+    grid = out.reshape(h, w, channels)
+    if ctype == 0:
+        return grid[:, :, 0]
+    if ctype == 4:  # gray + alpha: gray channel
+        return grid[:, :, 0]
+    # RGB(A): mean over the color channels, alpha ignored
+    return grid[:, :, :3].mean(axis=2).astype(np.uint8)
+
+
+def encode_png_gray(grid: np.ndarray, filter_type: int | None = None) -> bytes:
+    """Minimal 8-bit grayscale PNG ENCODER (fixture/test helper): one
+    filter type for every row (``filter_type``), or per-row cycling
+    through all 5 when None — exercising every unfilter path of
+    ``decode_png``."""
+    import struct
+    import zlib
+
+    g = np.asarray(grid, dtype=np.uint8)
+    h, w = g.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        f = (r % 5) if filter_type is None else int(filter_type)
+        cur = g[r].astype(np.int32)
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - np.concatenate(([0], cur[:-1]))
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (np.concatenate(([0], cur[:-1])) + prev) // 2
+        else:  # Paeth, bpp=1: a=left, b=up, c=up-left
+            filt = np.zeros(w, dtype=np.int32)
+            for i in range(w):
+                a = int(cur[i - 1]) if i else 0
+                b = int(prev[i])
+                c = int(prev[i - 1]) if (i and r) else 0
+                if r == 0:
+                    b = c = 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = cur[i] - pred
+        raw.append(f)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_png(i: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic REAL PNG payload (same gradient family as
+    synth_pgm, rows filtered with cycling filter types)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    grid = ((xx * 7 + yy * 13 + i * 31) % 256).astype(np.uint8)
+    return encode_png_gray(grid, filter_type=None)
+
+
 def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """FALLBACK DECODER for compressed formats (PNG/JPEG): the codec
-    libraries are not in this container, so a deterministic fake grid
-    derived from the payload bytes stands in. Replace with
+    """FALLBACK DECODER for formats needing codecs this container lacks
+    (JPEG/MP4): a deterministic fake grid derived from the payload
+    bytes stands in. Replace with
     ``PIL.Image.open(io.BytesIO(payload))`` when PIL is available.
     Raises like a real decoder on empty payloads."""
     if not payload:
@@ -158,6 +302,8 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_pnm(payload)
     if payload.startswith(b"BM"):
         return decode_bmp(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     return _fake_decode_image(payload, width, height)
 
 

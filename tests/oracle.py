@@ -4,6 +4,8 @@ in tests). Each function cites the reference lines it mirrors."""
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 import pandas as pd
 
@@ -112,3 +114,224 @@ def oracle_fingerprint(text: str, window: int = 8) -> int:
                 best = acc
         v = best
     return v - M if v >= (1 << 63) else v
+
+
+# ---------------------------------------------------------------- GVI scorer
+# Independent scalar port of the reference scorer over the engine's
+# token-label payload analog. Shares NO code with
+# streetview_naturevisibility_spark/functions/labels.py — every step is
+# a separate pure-Python restatement of the cited reference lines, used
+# to materialize the gvi_score_docs golden oracle table and in pytest.
+
+N_CLASSES = 19
+_ROAD = 0
+_VEG = 8
+_GRID_H = 16
+
+
+def fnv1a32_one(token: str) -> int:
+    """FNV-1a 32-bit, scalar byte loop (engine twin is a vectorized
+    masked column sweep — different code, same published function)."""
+    h = 2166136261
+    for byte in token.encode("utf-8"):
+        h = ((h ^ byte) * 16777619) & 0xFFFFFFFF
+    return h
+
+
+def oracle_token_labels(text: str) -> list:
+    """functions/text.token_labels semantics: label = fnv1a32(tok) % 19
+    over space-split tokens; empty text -> no tokens."""
+    toks = text.split(" ") if text else []
+    return [fnv1a32_one(t) % N_CLASSES for t in toks]
+
+
+def _oracle_local_maxima(x: list) -> list:
+    """scipy _local_maxima_1d as published: strict maxima, plateau
+    midpoint (left+right)//2, boundaries never peaks."""
+    peaks = []
+    i, last = 1, len(x) - 1
+    while i < last:
+        if x[i - 1] < x[i]:
+            ahead = i + 1
+            while ahead < last and x[ahead] == x[i]:
+                ahead += 1
+            if x[ahead] < x[i]:
+                peaks.append((i + (ahead - 1)) // 2)
+                i = ahead
+            else:
+                i = ahead
+        else:
+            i += 1
+    return peaks
+
+
+def _oracle_prune_distance(peaks: list, priority: list, distance: float) -> list:
+    """scipy _select_by_peak_distance: highest-priority-first sweep.
+    np.argsort is called exactly as scipy does, so equal-priority ties
+    resolve in the same (introsort) order as the reference/engine."""
+    n = len(peaks)
+    keep = [True] * n
+    order = np.argsort(np.asarray(priority, dtype=np.float64)).tolist()
+    d = int(np.ceil(distance))
+    for idx in reversed(order):
+        if not keep[idx]:
+            continue
+        k = idx - 1
+        while k >= 0 and peaks[idx] - peaks[k] < d:
+            keep[k] = False
+            k -= 1
+        k = idx + 1
+        while k < n and peaks[k] - peaks[idx] < d:
+            keep[k] = False
+            k += 1
+    return [p for p, kp in zip(peaks, keep) if kp]
+
+
+def _oracle_prominence(x: list, peak: int) -> float:
+    left_min = x[peak]
+    i = peak
+    while i > 0 and x[i - 1] <= x[peak]:
+        i -= 1
+        left_min = min(left_min, x[i])
+    right_min = x[peak]
+    i = peak
+    while i < len(x) - 1 and x[i + 1] <= x[peak]:
+        i += 1
+        right_min = min(right_min, x[i])
+    return x[peak] - max(left_min, right_min)
+
+
+def _oracle_road_runs(grid: list) -> list:
+    """modules/process_data.py:91-100: per column, the longest vertical
+    run of road pixels (scalar walk; engine uses RLE)."""
+    h = len(grid)
+    w = len(grid[0]) if h else 0
+    runs = []
+    for c in range(w):
+        best = run = 0
+        for r in range(h):
+            if grid[r][c] == _ROAD:
+                run += 1
+                best = max(best, run)
+            else:
+                run = 0
+        runs.append(float(best))
+    return runs
+
+
+def oracle_gvi_score(text: str, is_panoramic: bool) -> tuple:
+    """modules/process_data.py:221-300 flag semantics over the label
+    grid, cut_by_road_centres=False: -> (gvi, is_panoramic, missing,
+    error) with the engine's None->False pano coercion applied."""
+    try:
+        labels = oracle_token_labels(text)
+        w = len(labels) // _GRID_H
+        if w == 0:
+            raise ValueError("page too short to form a label grid")
+        grid = [labels[r * w : (r + 1) * w] for r in range(_GRID_H)]
+        if is_panoramic:
+            # bottom 20% crop (process_data.py:244-247): 16 -> 13 rows
+            grid = grid[: _GRID_H - int(_GRID_H * 0.2)]
+            # crop_panoramic_images (process_data.py:198-218)
+            h = len(grid)
+            w4 = int(w / 4)
+            h4 = int(h / 4)
+            h43 = int(w4 * 3 / 4)
+            total = veg = 0
+            for k in range(4):
+                for r in range(h4, h4 + h43):
+                    seg = grid[r][k * w4 : (k + 1) * w4]
+                    total += len(seg)
+                    veg += sum(1 for v in seg if v == _VEG)
+            return ((veg / total if total else 0.0), True, False, False)
+        # non-panoramic: suitability = a road centre exists
+        # (find_road_centre, process_data.py:112-120)
+        runs = _oracle_road_runs(grid)
+        distance = int(2000 * w // 5760)
+        if distance < 1:
+            raise ValueError("`distance` must be greater or equal to 1")
+        peaks = _oracle_local_maxima(runs)
+        peaks = _oracle_prune_distance(peaks, [runs[p] for p in peaks], distance)
+        prom_min = int(100 * _GRID_H // 2880)
+        peaks = [p for p in peaks if _oracle_prominence(runs, p) >= prom_min]
+        if peaks:
+            total = _GRID_H * w
+            veg = sum(1 for row in grid for v in row if v == _VEG)
+            return (veg / total if total else 0.0, False, False, False)
+        return (None, False, True, False)
+    except Exception:
+        return (None, False, True, True)
+
+
+# ------------------------------------------------------------- isochrone
+def oracle_isochrone_cells(pois, nodes, edges, buffer_dist, edge_buff, grid):
+    """Scalar re-implementation: plain-dict Dijkstra, per-cell scalar
+    point-segment distance, deque flood fill. Returns {poi_id: set}."""
+    xy = {n: (x, y) for n, x, y in nodes}
+
+    def seg_dist(px, py, a, b):
+        ax, ay = a
+        bx, by = b
+        dx, dy = bx - ax, by - ay
+        L2 = dx * dx + dy * dy
+        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
+        cx, cy = ax + t * dx, ay + t * dy
+        return ((px - cx) ** 2 + (py - cy) ** 2) ** 0.5
+
+    out = {}
+    for poi_id, px, py in pois:
+        center = min(xy, key=lambda n: (xy[n][0] - px) ** 2 + (xy[n][1] - py) ** 2)
+        # dijkstra
+        dist = {center: 0.0}
+        todo = {center}
+        while todo:
+            u = min(todo, key=lambda n: dist[n])
+            todo.remove(u)
+            for a, b in edges:
+                for s, t in ((a, b), (b, a)):
+                    if s != u:
+                        continue
+                    w = ((xy[s][0] - xy[t][0]) ** 2 + (xy[s][1] - xy[t][1]) ** 2) ** 0.5
+                    nd = dist[u] + w
+                    if nd <= buffer_dist and nd < dist.get(t, float("inf")):
+                        dist[t] = nd
+                        todo.add(t)
+        segs = [(a, b) for a, b in edges if a in dist and b in dist]
+        if not segs:
+            out[poi_id] = set()
+            continue
+        all_x = [xy[n][0] for e in segs for n in e]
+        all_y = [xy[n][1] for e in segs for n in e]
+        gx0 = int(np.floor((min(all_x) - edge_buff) / grid))
+        gy0 = int(np.floor((min(all_y) - edge_buff) / grid))
+        gx1 = int(np.ceil((max(all_x) + edge_buff) / grid))
+        gy1 = int(np.ceil((max(all_y) + edge_buff) / grid))
+        cells = set()
+        for gx in range(gx0, gx1 + 1):
+            for gy in range(gy0, gy1 + 1):
+                cx, cy = (gx + 0.5) * grid, (gy + 0.5) * grid
+                if any(seg_dist(cx, cy, xy[a], xy[b]) <= edge_buff for a, b in segs):
+                    cells.add((gx, gy))
+        # exterior fill via BFS from outside the frame
+        outside = set()
+        frame = [(gx, gy) for gx in range(gx0 - 1, gx1 + 2) for gy in (gy0 - 1, gy1 + 1)]
+        frame += [(gx, gy) for gy in range(gy0 - 1, gy1 + 2) for gx in (gx0 - 1, gx1 + 1)]
+        dq = deque(frame)
+        outside.update(frame)
+        while dq:
+            gx, gy = dq.popleft()
+            for nx, ny in ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1), (gx, gy - 1)):
+                if not (gx0 - 1 <= nx <= gx1 + 1 and gy0 - 1 <= ny <= gy1 + 1):
+                    continue
+                if (nx, ny) in outside or (nx, ny) in cells:
+                    continue
+                outside.add((nx, ny))
+                dq.append((nx, ny))
+        filled = {
+            (gx, gy)
+            for gx in range(gx0, gx1 + 1)
+            for gy in range(gy0, gy1 + 1)
+            if (gx, gy) not in outside
+        }
+        out[poi_id] = filled
+    return out

@@ -18,6 +18,8 @@ from streetview_naturevisibility_spark.functions.labels import (
     run_length_encoding,
     to_grid,
 )
+from pyspark.sql import functions as F
+from streetview_naturevisibility_spark.functions.text import token_labels_kernel
 
 
 class TestRLE:
@@ -223,3 +225,48 @@ class TestDuplicateUrlJoinBack:
             .toPandas()
         )
         assert out2["gvi"].iloc[0] == pytest.approx(0.5)
+
+
+class TestIndependentScalarOracle:
+    """The golden-table oracle (tests/oracle.oracle_gvi_score, a scalar
+    pure-Python port sharing no code with functions/labels.py) must
+    agree with the engine kernels on real document text — this is the
+    independence check behind the gvi_score_docs driver gate."""
+
+    def test_matches_engine_kernels_on_documents(self):
+        import duckdb
+
+        from tests.oracle import oracle_gvi_score, oracle_token_labels
+
+        docs = duckdb.sql(
+            "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' "
+            "ORDER BY doc_id LIMIT 250"
+        ).df()
+        labels_engine = token_labels_kernel(docs["text"])
+        n_scored = n_missing = n_error = 0
+        for i, (did, text) in enumerate(zip(docs["doc_id"], docs["text"])):
+            pano = bool(did % 5 == 0)
+            le = np.asarray(labels_engine[i], dtype=np.int32)
+            assert list(le) == oracle_token_labels(text)
+            g, p, m, e = process_labels(le, pano, False)
+            go = oracle_gvi_score(text, pano)
+            assert (g, bool(p) if p is not None else False, m, e) == go
+            n_scored += g is not None
+            n_missing += m and not e
+            n_error += e
+        # all three flag regimes are exercised by real corpus text
+        assert n_scored > 0 and n_missing > 0 and n_error > 0
+
+    def test_spark_round6_matches_f_round_on_decimal_tie(self, spark):
+        """k/640 lands exactly on a 6-decimal .5 tie: Spark round() is
+        HALF_UP on the shortest repr; the golden generator must match."""
+        from tools.make_golden import spark_round6
+
+        vals = [1.0 / 640, 3.0 / 640, 0.123456749, 1e-07, 0.9999995]
+        got = (
+            spark.createDataFrame([(v,) for v in vals], "v double")
+            .select(F.round("v", 6).alias("r"))
+            .toPandas()["r"]
+            .tolist()
+        )
+        assert got == [spark_round6(v) for v in vals]

@@ -6,83 +6,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from tests.oracle import oracle_isochrone_cells as _oracle_iso
 from streetview_naturevisibility_spark.operators.isochrone import (
     isochrone_area,
     isochrone_cells,
 )
-
-
-def _oracle_iso(pois, nodes, edges, buffer_dist, edge_buff, grid):
-    """Scalar re-implementation: plain-dict Dijkstra, per-cell scalar
-    point-segment distance, deque flood fill. Returns {poi_id: set}."""
-    xy = {n: (x, y) for n, x, y in nodes}
-
-    def seg_dist(px, py, a, b):
-        ax, ay = a
-        bx, by = b
-        dx, dy = bx - ax, by - ay
-        L2 = dx * dx + dy * dy
-        t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - ax) * dx + (py - ay) * dy) / L2))
-        cx, cy = ax + t * dx, ay + t * dy
-        return ((px - cx) ** 2 + (py - cy) ** 2) ** 0.5
-
-    out = {}
-    for poi_id, px, py in pois:
-        center = min(xy, key=lambda n: (xy[n][0] - px) ** 2 + (xy[n][1] - py) ** 2)
-        # dijkstra
-        dist = {center: 0.0}
-        todo = {center}
-        while todo:
-            u = min(todo, key=lambda n: dist[n])
-            todo.remove(u)
-            for a, b in edges:
-                for s, t in ((a, b), (b, a)):
-                    if s != u:
-                        continue
-                    w = ((xy[s][0] - xy[t][0]) ** 2 + (xy[s][1] - xy[t][1]) ** 2) ** 0.5
-                    nd = dist[u] + w
-                    if nd <= buffer_dist and nd < dist.get(t, float("inf")):
-                        dist[t] = nd
-                        todo.add(t)
-        segs = [(a, b) for a, b in edges if a in dist and b in dist]
-        if not segs:
-            out[poi_id] = set()
-            continue
-        all_x = [xy[n][0] for e in segs for n in e]
-        all_y = [xy[n][1] for e in segs for n in e]
-        gx0 = int(np.floor((min(all_x) - edge_buff) / grid))
-        gy0 = int(np.floor((min(all_y) - edge_buff) / grid))
-        gx1 = int(np.ceil((max(all_x) + edge_buff) / grid))
-        gy1 = int(np.ceil((max(all_y) + edge_buff) / grid))
-        cells = set()
-        for gx in range(gx0, gx1 + 1):
-            for gy in range(gy0, gy1 + 1):
-                cx, cy = (gx + 0.5) * grid, (gy + 0.5) * grid
-                if any(seg_dist(cx, cy, xy[a], xy[b]) <= edge_buff for a, b in segs):
-                    cells.add((gx, gy))
-        # exterior fill via BFS from outside the frame
-        outside = set()
-        frame = [(gx, gy) for gx in range(gx0 - 1, gx1 + 2) for gy in (gy0 - 1, gy1 + 1)]
-        frame += [(gx, gy) for gy in range(gy0 - 1, gy1 + 2) for gx in (gx0 - 1, gx1 + 1)]
-        dq = deque(frame)
-        outside.update(frame)
-        while dq:
-            gx, gy = dq.popleft()
-            for nx, ny in ((gx + 1, gy), (gx - 1, gy), (gx, gy + 1), (gx, gy - 1)):
-                if not (gx0 - 1 <= nx <= gx1 + 1 and gy0 - 1 <= ny <= gy1 + 1):
-                    continue
-                if (nx, ny) in outside or (nx, ny) in cells:
-                    continue
-                outside.add((nx, ny))
-                dq.append((nx, ny))
-        filled = {
-            (gx, gy)
-            for gx in range(gx0, gx1 + 1)
-            for gy in range(gy0, gy1 + 1)
-            if (gx, gy) not in outside
-        }
-        out[poi_id] = filled
-    return out
 
 
 NODES = [

@@ -141,3 +141,79 @@ class TestRealDecoders:
             grid = decode_pnm(raw[r.media_id])
             hist = np.histogram(grid, bins=16, range=(0, 256))[0] / grid.size
             assert np.allclose(np.array(r.embedding), hist, atol=1e-6)
+
+
+class TestPngDecoder:
+    """Real stdlib-zlib PNG decoder: all 5 scanline filters, gray/RGB
+    color types, and the full Spark feature pipeline over PNG bytes."""
+
+    def test_roundtrip_every_filter_type(self):
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            decode_png,
+            encode_png_gray,
+        )
+
+        rng = np.random.RandomState(11)
+        for ft in [0, 1, 2, 3, 4, None]:  # None = per-row cycling
+            g = rng.randint(0, 256, (13, 29)).astype(np.uint8)
+            assert (decode_png(encode_png_gray(g, filter_type=ft)) == g).all()
+
+    def test_rgb_decode_channel_mean(self):
+        """Hand-built color-type-2 PNG (filter 0 rows): the decoder
+        must inflate, strip filter bytes, and average the channels."""
+        import struct
+        import zlib
+
+        from streetview_naturevisibility_spark.operators.multimodal import decode_png
+
+        h, w = 4, 5
+        rng = np.random.RandomState(5)
+        rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        raw = b"".join(b"\x00" + rgb[r].tobytes() for r in range(h))
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png(png) == rgb.mean(axis=2).astype(np.uint8)).all()
+
+    def test_rejects_unsupported(self):
+        from streetview_naturevisibility_spark.operators.multimodal import decode_png
+
+        with pytest.raises(ValueError):
+            decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        with pytest.raises(ValueError):
+            decode_png(b"JUNK")
+
+    def test_image_features_over_png_media(self, spark):
+        """kind=png media through the same mapInPandas pipeline: the
+        embedding must equal the histogram of the REAL decoded grid
+        (i.e. the known synth gradient, not the payload-hash fake)."""
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            image_features,
+            synth_png,
+        )
+
+        rows = [(i, "image", bytearray(synth_png(i)), "image/png", 24, 16, None) for i in range(40)]
+        media = spark.createDataFrame(
+            rows,
+            "media_id long, kind string, payload binary, mime string, "
+            "width int, height int, duration_ms int",
+        )
+        feats = image_features(media).orderBy("media_id").toPandas()
+        assert len(feats) == 40
+        yy, xx = np.mgrid[0:16, 0:24]
+        for r in feats.itertuples():
+            exp_grid = ((xx * 7 + yy * 13 + int(r.media_id) * 31) % 256).astype(np.uint8)
+            hist = np.histogram(exp_grid, bins=16, range=(0, 256))[0] / exp_grid.size
+            assert np.allclose(np.array(r.embedding), hist, atol=1e-6)

@@ -63,6 +63,9 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:]) if len(sys.argv) > 2 else None
+    # golden-table oracles resolve their sf from this env var (the
+    # grading driver runs at the sf0.01 default)
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     con = duckdb.connect()
     for t in TABLES:
