@@ -77,11 +77,14 @@ def bench_snap_throughput(spark: SparkSession, sf_dir: str, n_pages: int) -> tup
         .withColumn("tile_y", tile_y_col(F.col("lat"), zoom))
     )
     pages = synthetic_pages(spark, n_pages, zoom)
+    # t0 BEFORE the operator call: the two_phase reduce materializes
+    # its winners eagerly inside knn_snap (cache-lifecycle fix), so the
+    # timed window must include the call itself
+    t0 = time.time()
     # numeric page key through the reduce (see knn_snap docstring)
     snapped = knn_snap(
         points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom, key_col="doc_id"
     )
-    t0 = time.time()
     snapped.groupBy("road_id").agg(
         F.count(F.lit(1)).alias("n"),
         F.avg("snap_distance").alias("d"),
@@ -141,10 +144,10 @@ def bench_pipeline_throughput(
     # doc_id flows through prepare_pages — never re-derive keys from
     # strings in the hot path
     pages = prepare_pages(raw, zoom=zoom, keep_text=False)
+    t0 = time.time()  # include the eager two_phase materialization
     snapped = knn_snap(
         points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom, key_col="doc_id"
     )
-    t0 = time.time()
     snapped.groupBy("road_id").agg(
         F.count(F.lit(1)).alias("n"), F.avg("snap_distance").alias("d")
     ).collect()
@@ -189,6 +192,11 @@ def main() -> None:
         "events_window",
         "pricing_summary",
         "top_customers",
+        # r3 additions: hex snap, stateful sessionize, MinHash LSH —
+        # round-over-round coverage for the newer operator families
+        "knn_snap_hex",
+        "sessionize",
+        "minhash_lsh",
     ]
     times: dict[str, float] = {}
     for name in headline:
@@ -199,10 +207,11 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
 
     # warm-up pass each (JIT + Python workers), then the timed run.
-    # clearCache between passes: the two-phase kNN reduce persists its
-    # candidate set, and Spark's CacheManager substitutes cached plans
-    # by canonical equality — without the clear, the timed run would
-    # reuse the warm-up's cache and skip the scan+extract entirely.
+    # clearCache between passes is belt-and-braces: since the r3
+    # lifecycle fix the two-phase kNN reduce unpersists its candidate
+    # set before returning, but any future persist in these paths would
+    # silently serve the timed run via CacheManager's canonical-plan
+    # matching (the r2 24M-pages/s lie), so keep the clear.
     bench_snap_throughput(spark, sf_dir, n_pages)
     spark.catalog.clearCache()
     snap_sec, kernel_pps = bench_snap_throughput(spark, sf_dir, n_pages)

@@ -59,6 +59,7 @@ def knn_snap(
     broadcast_points: bool = True,
     key_col: str = "url",
     reduce: str = "two_phase",
+    materialize: bool = True,
 ) -> DataFrame:
     """Snap each point to its nearest page within ``max_distance/2``
     (strictly: cKDTree's ``distance_upper_bound`` accepts only
@@ -111,7 +112,7 @@ def knn_snap(
         .select("point_id", "_dist", "_url", "_pano")
     )
 
-    return _snap_reduce_join(points, cand, key_is_string, key_col, reduce, salt)
+    return _snap_reduce_join(points, cand, key_is_string, key_col, reduce, salt, materialize)
 
 
 def _snap_reduce_join(
@@ -121,6 +122,7 @@ def _snap_reduce_join(
     key_col: str,
     reduce: str,
     salt: int | None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Shared k=1 reduce + miss-preserving join-back (used by the
     square-cell and hex-cell snap joins — the candidate generation is
@@ -157,15 +159,22 @@ def _snap_reduce_join(
         # reclaimed by Spark's ContextCleaner when the returned
         # DataFrame is dropped. Note this makes the snap compute at
         # CALL time rather than first-action time.
-        cand = cand.persist()
+        # materialize=False returns the fully LAZY two-phase plan (no
+        # persist, no checkpoint) — for plan inspection (EXPLAIN audit)
+        # or callers managing their own lifecycle; an action on it
+        # computes the candidate set twice (md + tie-break branches).
+        if materialize:
+            cand = cand.persist()
         md = cand.groupBy("point_id").agg(F.min("_dist").alias("_md"))
         best = (
             cand.join(F.broadcast(md), "point_id")
             .where(F.col("_dist") == F.col("_md"))
             .groupBy("point_id")
             .agg(F.min(best_struct).alias("best"))
-        ).localCheckpoint(eager=True)
-        cand.unpersist()
+        )
+        if materialize:
+            best = best.localCheckpoint(eager=True)
+            cand.unpersist()
     elif salt:
         # Explicit two-stage salted reduce for adversarially hot cells:
         # pre-reduce per (point_id, salt bucket), then final reduce.
@@ -200,6 +209,7 @@ def knn_snap_hex(
     salt: int | None = None,
     key_col: str = "url",
     reduce: str = "two_phase",
+    materialize: bool = True,
 ) -> DataFrame:
     """The hex-index variant of ``knn_snap`` (SURVEY J2 H3 variant):
     identical semantics and output, candidate pruning via the 7-cell
@@ -246,7 +256,7 @@ def knn_snap_hex(
         .where(F.col("_dist") < F.lit(bound))
         .select("point_id", "_dist", "_url", "_pano")
     )
-    return _snap_reduce_join(points, cand, key_is_string, key_col, reduce, salt)
+    return _snap_reduce_join(points, cand, key_is_string, key_col, reduce, salt, materialize)
 
 
 _GROUPED_BEST = StructType(

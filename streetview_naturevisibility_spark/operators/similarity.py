@@ -347,10 +347,12 @@ def ivf_topk(
     inverted lists by nearest centroid, queries scan only the
     ``n_probe`` nearest lists with exact cosine inside.
 
-    Scale path: the assignment is computed once and stored as a
-    partition/cluster column; a query then prunes to n_probe/n_lists of
-    the data (Catalyst partition pruning when the list id is a
-    partition key)."""
+    NOTE this inline form is the fit-at-query-time CONVENIENCE/test
+    path: it collects a bounded train sample per call. Production is
+    ``build_ivf_index`` + ``ivf_topk_from_index`` (fit once, assignment
+    persisted as a partition column, queries prune with zero UDFs and
+    zero collects); the contract query uses ``ivf_topk_pinned``
+    (literal centroids, no fit at all)."""
     sample = np.stack(
         [
             np.asarray(r[0], dtype=np.float64)

@@ -84,11 +84,15 @@ def main() -> None:
     pages_snap = D.spark_pages(spark, sf_dir).drop("cell_id").withColumnRenamed(
         "scell_id", "cell_id"
     )
+    # materialize=False: the default eagerly checkpoints the winners
+    # (cache-lifecycle fix), which would leave only a Scan ExistingRDD
+    # in the returned plan — the audit wants the LAZY two-phase plan
     flag = knn_snap(
         D.spark_points(spark, sf_dir),
         pages_snap,
         max_distance=2 * D.SNAP_RADIUS,
         zoom=D.SNAP_ZOOM,
+        materialize=False,
     )
     p2b = plan_of(flag)
     ok2b, n2b = check(
@@ -149,6 +153,7 @@ def main() -> None:
         D.spark_pages(spark, sf_dir),
         max_distance=2 * D.SNAP_RADIUS,
         hex_size=D.SNAP_RADIUS,
+        materialize=False,  # lazy plan for inspection (see above)
     )
     p6 = plan_of(hx)
     ok6, n6 = check(
