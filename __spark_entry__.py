@@ -213,6 +213,62 @@ SELECT id, round(cosine, 6) AS cosine FROM (
 ) ORDER BY cosine DESC, id LIMIT {k}"""
 
 
+def _dup_clusters_oracle_sql() -> str:
+    """DuckDB twin of duplicate_clusters over the md5 MinHash-LSH
+    pairs: reruns the portable LSH pipeline (_minhash_oracle_sql) as a
+    CTE, then closes connected components with a recursive min-label
+    walk — the same fixpoint the engine's iterative propagation
+    reaches."""
+    pairs = _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id WHERE w.lbl < e.b),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
+FROM cc c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                FROM cc GROUP BY cluster_id) s USING (cluster_id)"""
+
+
+def _ngram_topk_oracle_sql(n: int = 3, k: int = 5) -> str:
+    """DuckDB twin of corpus.ngram_topk: identical distinct-per-doc
+    shingling (dedup.shingles_col semantics), document-frequency count
+    and (df desc, gram asc) total-order ranking."""
+    return f"""
+WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+shg AS (
+  SELECT doc_id, lang, list_distinct(list_transform(
+           range(1, greatest(len(tk) - {n - 1}, 1) + 1),
+           i -> array_to_string(list_slice(tk, i, i + {n - 1}), ' '))) AS sh
+  FROM toks),
+cnt AS (
+  SELECT lang, gram, count(*) AS df_count
+  FROM (SELECT lang, unnest(sh) AS gram FROM shg)
+  GROUP BY lang, gram)
+SELECT lang, gram, df_count, CAST(rn AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang
+            ORDER BY df_count DESC, gram ASC) AS rn
+  FROM cnt) WHERE rn <= {k}"""
+
+
+def _stratified_sample_oracle_sql(rates: dict[str, float], salt: str = "strat") -> str:
+    """DuckDB twin of corpus.stratified_sample: same md5 unit hash
+    (first 15 hex chars mod 1e6) and per-stratum threshold."""
+    case = " ".join(f"WHEN '{k}' THEN {v!r}" for k, v in sorted(rates.items()))
+    return f"""
+SELECT doc_id, lang, round(1.0 / rate, 6) AS weight FROM (
+  SELECT doc_id, lang, CASE lang {case} ELSE 0.0 END AS rate,
+         CAST('0x' || substring(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 AS u
+  FROM documents)
+WHERE u < CAST(round(rate * 1000000, 0) AS BIGINT)"""
+
+
 def _golden_sql(name: str) -> str:
     """Golden-table oracle for queries whose algorithm plain SQL cannot
     restate (GVI scorer, isochrone, media decode): an INDEPENDENT
@@ -601,6 +657,61 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_col("text").alias("fingerprint"))
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components over the MinHash-LSH
+    near-dup pairs (canonical final stage of web-scale dedup). The
+    DuckDB twin reruns the full portable LSH pipeline and closes the
+    components with a recursive CTE — oracle-exact end to end."""
+    from streetview_naturevisibility_spark.operators.corpus import duplicate_clusters
+    from streetview_naturevisibility_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, k=32, bands=8, jaccard_threshold=0.5, hash_method="md5"
+    )
+    return duplicate_clusters(pairs)
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding in long form (label, pos, centroid)."""
+    from streetview_naturevisibility_spark.operators.corpus import label_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    return label_centroids(emb, "label", "embedding")
+
+
+def q_char_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of doc length per lang."""
+    from streetview_naturevisibility_spark.operators.corpus import percentile_rollup
+
+    docs = load(spark, sf_dir, "documents")
+    return percentile_rollup(docs, "lang", "n_chars", ps=(0.5, 0.9, 0.99))
+
+
+SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.75, "fr": 1.0, "zh": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling with inverse-
+    probability weights (portable md5 hash — reproducible across
+    engines and cluster sizes, unlike seed-based df.sample)."""
+    from streetview_naturevisibility_spark.operators.corpus import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", SAMPLE_RATES, "doc_id").select(
+        "doc_id", "lang", "weight"
+    )
+
+
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 token 3-grams per lang by document frequency with a total-
+    order tie-break (vocabulary / contamination audit)."""
+    from streetview_naturevisibility_spark.operators.corpus import ngram_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_topk(docs, group_col="lang", n=3, k=5)
 
 
 def _query_vector(spark: SparkSession, sf_dir: str) -> list[float]:
@@ -1109,6 +1220,23 @@ FROM s""",
         # explicit double math: DuckDB's list_cosine_similarity runs in
         # float32 and diverges from the engine's float64 HOF pipeline
         "minhash_lsh": _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5),
+        "dup_clusters": _dup_clusters_oracle_sql(),
+        "label_centroids": """
+WITH ex AS (
+  SELECT label, unnest(range(len(embedding))) AS pos, unnest(embedding) AS val
+  FROM embeddings)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       round(avg(CAST(val AS DOUBLE)), 6) AS centroid
+FROM ex GROUP BY label, pos""",
+        "char_percentiles": (
+            "SELECT lang, count(*) AS n, min(n_chars) AS vmin, "
+            "round(quantile_cont(n_chars, 0.5), 6) AS p50, "
+            "round(quantile_cont(n_chars, 0.9), 6) AS p90, "
+            "round(quantile_cont(n_chars, 0.99), 6) AS p99 "
+            "FROM documents GROUP BY lang"
+        ),
+        "stratified_sample": _stratified_sample_oracle_sql(SAMPLE_RATES),
+        "ngram_topk": _ngram_topk_oracle_sql(n=3, k=5),
         "doc_fingerprint": _fingerprint_oracle_sql(window=8),
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
@@ -1238,6 +1366,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "token_jaccard": q_token_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dup_clusters": q_dup_clusters,
+        "label_centroids": q_label_centroids,
+        "char_percentiles": q_char_percentiles,
+        "stratified_sample": q_stratified_sample,
+        "ngram_topk": q_ngram_topk,
         "simhash_pairs": q_simhash_pairs,
         "text_analyze": q_text_analyze,
         "doc_fingerprint": q_doc_fingerprint,

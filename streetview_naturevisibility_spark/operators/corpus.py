@@ -1,0 +1,258 @@
+"""Corpus-level analytics for large-scale training-data pipelines.
+
+The dedup/similarity suite (dedup.py, similarity.py) emits *pairs*;
+this module holds the corpus-wide stages that come after — and the
+rollups a data curator runs over the whole corpus:
+
+- ``duplicate_clusters``: distributed connected components over a
+  near-dup pair list (the canonical final stage of web-scale dedup:
+  MinHash-LSH pairs -> clusters -> keep one doc per cluster);
+- ``dedup_keep_canonical``: apply the clusters to the corpus;
+- ``label_centroids``: per-group mean embedding (long form — the
+  shape that scales: shuffle key is (group, dim_pos), partial
+  aggregation map-side);
+- ``percentile_rollup``: exact percentiles per group (Spark
+  ``percentile``, linear interpolation — the same definition DuckDB's
+  ``quantile_cont`` uses);
+- ``stratified_sample``: DETERMINISTIC per-stratum sampling by a
+  portable content hash — reproducible across runs, engines and
+  cluster sizes (unlike ``df.sample``, which is seed+partitioning
+  dependent), with an inverse-probability ``weight`` column for
+  unbiased downstream estimates;
+- ``ngram_topk``: top-k token n-grams per group by document frequency
+  (vocabulary / contamination audits).
+
+All stages are pure JVM Column expressions except the connected-
+components loop, which is iterative by nature (driver-coordinated
+fixpoint over two aggregate jobs per round).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.operators.dedup import shingles_col
+
+
+# ------------------------------------------------------------------
+# connected components over near-dup pairs
+# ------------------------------------------------------------------
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list -> one row per
+    member node: (doc_id, cluster_id, cluster_size), where cluster_id
+    is the MINIMUM doc id in the component (the canonical keeper).
+
+    Algorithm: iterative min-label propagation. Each round is one
+    shuffle join (edges x labels on src) plus a groupBy(dst) min — the
+    label frame is node-sized (#docs that appear in any pair, far
+    smaller than the corpus), and each round's result is eagerly
+    ``localCheckpoint``-ed so the lineage never grows and superseded
+    round results are released by the context cleaner (no persist
+    leak). Convergence is detected by counting changed labels
+    (one tiny aggregate per round).
+
+    Rounds needed = component diameter. Near-dup clusters are
+    near-cliques (every member shares shingles with most others), so
+    diameter is small (2-4) regardless of corpus size; ``max_iters``
+    is a guard, not a budget. For adversarial long-chain graphs use
+    the alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same join
+    primitive, O(log^2 n) rounds; not needed for dedup graphs.
+
+    The pair input is materialized ONCE (eager localCheckpoint): the
+    upstream LSH pipeline is the expensive part and must not re-run
+    per round.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(msgs, labels.id == msgs.dst, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce("nbr_min", "lbl")).alias("new_lbl"),
+                (F.coalesce("nbr_min", "lbl") < F.col("lbl")).cast("long").alias(
+                    "chg"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = stepped.agg(F.sum("chg")).first()[0] or 0
+        labels = stepped.select("id", F.col("new_lbl").alias("lbl"))
+        if n_changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's canonical keeper
+    (min id). Docs in no cluster pass through. One left join on the
+    doc id — the cluster frame is pair-member-sized, broadcastable in
+    most real corpora (duplicate fraction << corpus)."""
+    drop = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(F.broadcast(drop), id_col, "left_anti")
+
+
+# ------------------------------------------------------------------
+# embedding centroids
+# ------------------------------------------------------------------
+def label_centroids(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Per-group mean embedding in LONG form: (group, pos, centroid).
+
+    posexplode -> groupBy(group, pos) -> avg: the shuffle key is
+    (group, dim_pos) so partial aggregation combines map-side and no
+    single reducer sees more than one dimension of one group — the
+    shape that survives a 100 TB embedding table. Assemble to an
+    array only at the consumer (`F.array_agg` over a bounded group)
+    if needed."""
+    c = F.avg(F.col("val").cast("double"))
+    c = F.round(c, round_to) if round_to is not None else c
+    return (
+        emb.select(F.col(group_col).alias("grp"), F.posexplode(vec_col).alias("pos", "val"))
+        .groupBy("grp", "pos")
+        .agg(c.alias("centroid"))
+        .select(F.col("grp").alias(group_col), "pos", "centroid")
+    )
+
+
+# ------------------------------------------------------------------
+# exact percentile rollup
+# ------------------------------------------------------------------
+def percentile_rollup(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact linear-interpolation percentiles of ``value_col`` per
+    group — Spark's ``percentile`` aggregate (rank = p*(n-1), same
+    definition as DuckDB/Postgres ``quantile_cont``/
+    ``percentile_cont``). Exact percentile sorts each group's values
+    inside the aggregate buffer; for sketch-sized state at extreme
+    cardinality switch to ``percentile_approx`` (t-digest-style) —
+    kept exact here because the rollup input is the aggregated
+    corpus, not the raw token stream."""
+    aggs = [
+        F.round(F.percentile(F.col(value_col), F.lit(p)), round_to).alias(
+            f"p{int(p * 100)}"
+        )
+        for p in ps
+    ]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.min(value_col).alias("vmin"), *aggs
+    )
+
+
+# ------------------------------------------------------------------
+# deterministic stratified sampling
+# ------------------------------------------------------------------
+SAMPLE_RES = 1_000_000  # hash units per stratum rate
+
+
+def sample_hash_col(key_col, salt: str = "strat"):
+    """Portable uniform hash in [0, 1e6): integer value of the first 15
+    md5 hex chars of salt||key, mod 1e6 — identical arithmetic in any
+    engine with md5 (DuckDB twin:
+    ``CAST('0x'||substring(md5(s),1,15) AS BIGINT) % 1000000``)."""
+    s = F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        F.lit(SAMPLE_RES),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep each row iff hash(key) < rate(stratum): deterministic,
+    engine-portable, and embarrassingly parallel (a pure filter — no
+    shuffle, no state, fully pushdown-friendly). Adds ``weight`` =
+    1/rate so downstream aggregates stay unbiased. ``rates`` maps
+    stratum value -> sampling fraction in [0, 1]."""
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(k), F.lit(float(v))).otherwise(rate)
+    thresh = F.round(rate * F.lit(SAMPLE_RES), 0).cast("long")
+    return (
+        df.withColumn("_u", sample_hash_col(key_col, salt))
+        .where(F.col("_u") < thresh)
+        .withColumn("weight", F.round(F.lit(1.0) / rate, 6))
+        .drop("_u")
+    )
+
+
+# ------------------------------------------------------------------
+# n-gram document-frequency top-k
+# ------------------------------------------------------------------
+def ngram_topk(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k token n-grams per group by DOCUMENT frequency (distinct
+    docs containing the gram), with a total-order tie-break
+    (df desc, gram asc) so results are deterministic.
+
+    Scale shape: shingles are distinct per doc (shingles_col), so the
+    explode emits each (doc, gram) once; groupBy(group, gram) combines
+    map-side. The ``rank <= k`` filter over row_number triggers
+    Catalyst's WindowGroupLimit rewrite: a PARTIAL per-partition top-k
+    runs before the exchange and only <= k rows per (partition, group)
+    shuffle — the two-phase top-k pattern, derived automatically from
+    the declarative plan."""
+    grams = docs.select(
+        F.col(group_col).alias("grp"), F.explode(shingles_col(text_col, n)).alias("gram")
+    )
+    counts = grams.groupBy("grp", "gram").agg(F.count(F.lit(1)).alias("df_count"))
+    w = Window.partitionBy("grp").orderBy(F.desc("df_count"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(F.col("grp").alias(group_col), "gram", "df_count", "rank")
+    )

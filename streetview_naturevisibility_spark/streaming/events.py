@@ -79,6 +79,42 @@ def stream_dedup_events(
     q.awaitTermination()
 
 
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    key: str = "event_id",
+    watermark: str = "2 hours",
+) -> None:
+    """Streaming dedup for RETRY-DELIVERED duplicates: the same key
+    re-arriving with a slightly different event time (publisher retry,
+    at-least-once sources). ``dropDuplicates([key, ts])`` misses those
+    (the jittered ts makes the composite key unique);
+    ``dropDuplicatesWithinWatermark`` keys on ``key`` alone and keeps
+    state only within the watermark delay, so state stays bounded while
+    catching any duplicate whose event times land within the delay of
+    each other. First-seen row wins (arrival order within a
+    micro-batch)."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(events_path)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark([key])
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_events_availablenow(
     spark: SparkSession,
     events_path: str,

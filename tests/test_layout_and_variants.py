@@ -125,6 +125,29 @@ class TestStreamDedup:
         got = spark.read.parquet(out)
         assert got.count() == got.select("event_id").distinct().count()
 
+    def test_jittered_retries_dropped_within_watermark(self, spark, tmp_path):
+        # retry-delivered duplicates: same event_id, ts jittered by a few
+        # seconds. dropDuplicates([id, ts]) would KEEP these; the
+        # within-watermark variant must drop them.
+        from streetview_naturevisibility_spark.streaming.events import (
+            stream_dedup_within_watermark,
+        )
+
+        events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(200)
+        src = str(tmp_path / "src")
+        events.write.mode("overwrite").parquet(src)
+        retries = events.limit(80).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 7 SECONDS")
+        )
+        retries.write.mode("append").parquet(src)
+        out = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        stream_dedup_within_watermark(spark, src, out, ckpt)
+        got = spark.read.parquet(out)
+        n_ids = events.select("event_id").distinct().count()
+        assert got.count() == n_ids
+        assert got.select("event_id").distinct().count() == n_ids
+
 
 class TestSkewSalting:
     def test_hot_cells_detected_and_salted(self, spark):

@@ -166,6 +166,29 @@ def main() -> None:
         ("Hex-ring kNN snap: broadcast join + hash reduce (H3-analog path)", hx, p6, ok6, n6)
     )
 
+    # 7. n-gram top-k: Catalyst derives the two-phase top-k
+    # (WindowGroupLimit Partial before the exchange) from the
+    # declarative rank<=k filter; whole pipeline JVM-side
+    from streetview_naturevisibility_spark.operators.corpus import ngram_topk
+
+    ng = ngram_topk(docs, group_col="lang", n=3, k=5)
+    p7 = plan_of(ng)
+    ok7, n7 = check(
+        "ngram topk",
+        p7,
+        must=["WindowGroupLimit", "HashAggregate"],
+        must_not=["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    )
+    sections.append(
+        (
+            "N-gram top-k: partial WindowGroupLimit (auto two-phase top-k), zero Python",
+            ng,
+            p7,
+            ok7,
+            n7,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
