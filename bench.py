@@ -197,6 +197,10 @@ def main() -> None:
         "knn_snap_hex",
         "sessionize",
         "minhash_lsh",
+        # r3 corpus-analytics family: CC duplicate clustering + n-gram
+        # document-frequency top-k
+        "dup_clusters",
+        "ngram_topk",
     ]
     times: dict[str, float] = {}
     for name in headline:

@@ -12,6 +12,11 @@ Subcommands (reference analogs cited):
 - ``metrics``   — scripts/mean_gvi_street.py + results_metrics.py
   reporting chain over a finished pipeline output.
 - ``gap-fill``  — predict_missing_gvi.py: zonal NDVI + OLS fill.
+- ``curate``    — training-corpus curation funnel over a documents
+  table (engine addendum, no reference analog): quality filter ->
+  exact dedup -> MinHash-LSH near-dup clustering with canonical
+  keepers -> deterministic stratified sample; prints the funnel
+  counts and the LSH bucket-drop metrics.
 
 On a real cluster drop ``--master``; on the sandbox it defaults to
 local[$SPARK_GRAFT_CPUS].
@@ -145,6 +150,69 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     print("gap-fill complete -> gvi_filled")
 
 
+def cmd_curate(args: argparse.Namespace) -> None:
+    """Training-corpus curation over a documents table: quality filter
+    -> exact dedup -> MinHash-LSH near-dup clustering (keep canonical)
+    -> optional deterministic stratified sample. Prints a funnel
+    summary; every stage is a distributed DataFrame op (the near-dup
+    bucket join is capped via --max-bucket with drop metrics printed,
+    never silent)."""
+    from .operators.corpus import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+        stratified_sample,
+    )
+    from .operators.dedup import minhash_lsh_pairs
+    from .operators.textops import analyze_documents
+
+    spark = get_spark(app_name="svnv-curate", master=args.master)
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+
+    scored = analyze_documents(docs, keep_input_cols=True)
+    kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))
+    n_quality = kept_q.count()
+
+    # exact dedup: keep the min doc_id per content digest (shuffle on
+    # the digest only; the digest frame is corpus-sized, NOT broadcast)
+    digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
+    keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
+    exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
+    n_exact = exact.count()
+
+    # near-dup: LSH pairs -> connected components -> keep canonical
+    pairs, metrics = minhash_lsh_pairs(
+        exact,
+        jaccard_threshold=args.jaccard,
+        max_bucket=args.max_bucket,
+        return_metrics=True,
+    )
+    clusters = duplicate_clusters(pairs)
+    near = dedup_keep_canonical(exact, clusters)
+    n_near = near.count()
+    m = metrics.collect()[0]
+    print(
+        f"[lsh] buckets={m.n_buckets} dropped_buckets={m.dropped_buckets} "
+        f"dropped_members={m.dropped_members}"
+    )
+
+    out = near
+    if args.sample:
+        rates = {
+            kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in args.sample.split(",")
+        }
+        out = stratified_sample(out, "lang_pred", rates, "doc_id",
+                                default_rate=args.default_rate)
+    n_out = out.count()
+
+    out.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
+    print(
+        f"[curate] in={n_in} quality>={args.min_quality}: {n_quality} "
+        f"exact-dedup: {n_exact} near-dedup: {n_near} sampled: {n_out}"
+    )
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="svnv-spark")
     p.add_argument("--master", default=None)
@@ -172,6 +240,20 @@ def main() -> None:
     pg.add_argument("--ndvi-grid", required=True)
     pg.add_argument("--distance", type=float, default=50.0)
     pg.set_defaults(fn=cmd_gap_fill)
+
+    pc = sub.add_parser("curate")
+    pc.add_argument("--docs", required=True)
+    pc.add_argument("--out", required=True)
+    pc.add_argument("--min-quality", type=float, default=0.5)
+    pc.add_argument("--jaccard", type=float, default=0.5)
+    pc.add_argument("--max-bucket", type=int, default=10_000)
+    pc.add_argument(
+        "--sample",
+        default=None,
+        help="per-stratum rates over predicted lang, e.g. en=0.25,de=0.5",
+    )
+    pc.add_argument("--default-rate", type=float, default=1.0)
+    pc.set_defaults(fn=cmd_curate)
 
     args = p.parse_args()
     args.fn(args)

@@ -153,10 +153,21 @@ def fingerprint_col(text_col: str, window: int = 8):
     return F.array_min(runs)
 
 
-def analyze_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def analyze_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_input_cols: bool = False,
+) -> DataFrame:
+    """Per-document analysis columns (lang-ID, BPE-ish token counts,
+    quality score, fingerprint). ``keep_input_cols=True`` appends the
+    derived columns to the input row instead of projecting it away
+    (for pipelines that filter then continue with the original text —
+    a pure projection either way, no shuffle)."""
     cols = quality_score_cols(text_col)
+    base = [F.col("*")] if keep_input_cols else [F.col(id_col)]
     return df.select(
-        F.col(id_col),
+        *base,
         lang_id_col(text_col).alias("lang_pred"),
         cols["n_tokens"].alias("n_tokens"),
         token_count_col(text_col, "bpe").alias("n_bpe_pieces"),

@@ -86,3 +86,44 @@ class TestCli:
         filled = spark.read.parquet(os.path.join(outdir, "gvi_filled"))
         assert filled.count() > 0
         assert "gvi_filled" in filled.columns
+
+
+class TestCurate:
+    def test_curate_funnel(self, spark, tmp_path, capsys):
+        """Curation funnel over the sf0.001 documents table: counts are
+        monotone non-increasing, exact duplicates are gone, the output
+        parquet is readable, and the LSH drop metrics are printed."""
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs="/root/testdata/sf0.001/documents.parquet",
+            out=out,
+            min_quality=0.3,
+            jaccard=0.5,
+            max_bucket=10_000,
+            sample="en=0.5,de=1.0,es=1.0,fr=1.0,zh=1.0",
+            default_rate=1.0,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[lsh] buckets=" in text
+        assert "[curate] in=" in text
+        import re
+
+        m = re.search(
+            r"in=(\d+) quality>=[\d.]+: (\d+) exact-dedup: (\d+) "
+            r"near-dedup: (\d+) sampled: (\d+)",
+            text,
+        )
+        assert m, text
+        n_in, n_q, n_ex, n_near, n_s = map(int, m.groups())
+        assert n_in >= n_q >= n_ex >= n_near >= n_s
+        assert n_s > 0
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        assert cur.count() == n_s
+        # no exact duplicates survive
+        from pyspark.sql import functions as F
+
+        assert (
+            cur.groupBy(F.md5("text")).count().where("count > 1").count() == 0
+        )
+        assert "weight" in cur.columns
