@@ -122,21 +122,34 @@ def minhash_signatures(
     hash_method: str = "xxhash64",
 ) -> DataFrame:
     """(id, minhash: array<bigint> of length k) — pure JVM expressions:
-    min over shingles of (a_i * hash(shingle) + b_i) mod p."""
+    min over shingles of (a_i * hash(shingle) + b_i) mod p.
+
+    All k minima are computed in ONE ``F.aggregate`` traversal of the
+    shingle-hash array. The obvious k-expression form
+    (``array_min(transform(hs, perm_i))`` once per permutation) is
+    3-4x slower: Catalyst's projection collapse inlines the ``hs``
+    definition into EVERY one of the k expressions and there is no
+    common-subexpression elimination across higher-order functions, so
+    the shingle hash (an md5 for the portable path) is recomputed k
+    times per shingle. The single aggregate references ``hs`` once, so
+    each shingle is hashed once and the per-permutation work is k
+    integer ops inside the accumulator ``zip_with``."""
     sh = shingles_col(text_col, n).alias("sh")
     hashes = F.transform(
         F.col("sh"), lambda s: shingle_hash(s, hash_method)
     ).alias("hs")
     base = df.select(F.col(id_col).alias("id"), sh).select("id", hashes)
-    def _perm(a: int, b: int):
-        # factory: Spark infers HOF lambda arity from the signature, so
-        # the closure must be a genuine 1-arg lambda
-        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_MOD))
+    perms = _perm_params(k)
+    # sentinel above the modulus: any real (a*h+b) mod 2^32 beats it
+    init = F.array(*[F.lit(1 << 33).cast("long") for _ in range(k)])
 
-    mins = [
-        F.array_min(F.transform(F.col("hs"), _perm(a, b))) for a, b in _perm_params(k)
-    ]
-    return base.select("id", F.array(*mins).alias("minhash"))
+    def _merge(acc, h):
+        cand = F.array(
+            *[F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_MOD)) for a, b in perms]
+        )
+        return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
+
+    return base.select("id", F.aggregate("hs", init, _merge).alias("minhash"))
 
 
 def minhash_lsh_pairs(
