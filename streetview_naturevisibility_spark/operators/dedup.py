@@ -288,24 +288,32 @@ def simhash_sig_md5_col(text_col: str):
     mechanical — Catalyst handles it; the DuckDB twin is generated from
     the same loop, so the contract variant is oracle-exact. The
     vectorized NumPy kernel (simhash_udf) remains the fast path."""
+    from ..functions.hof import let_col
+
     toks = F.array_distinct(F.split(F.col(text_col), " "))
     hs = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
     )
-    n = F.size(hs).cast("long")
 
-    def _ones(bit: int):
-        # factory: Spark infers HOF lambda arity — must be a true 2-arg
-        # merge lambda (no default-arg closures)
-        def merge(acc, h):
-            return acc + F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1))
+    # let-bind hs: the 60 per-bit aggregates + the size() guard would
+    # otherwise each inline the md5 token hashing (61x recompute)
+    def _sig(hsv):
+        n = F.size(hsv).cast("long")
 
-        return F.aggregate(hs, F.lit(0).cast("long"), merge)
+        def _ones(bit: int):
+            # factory: Spark infers HOF lambda arity — must be a true
+            # 2-arg merge lambda (no default-arg closures)
+            def merge(acc, h):
+                return acc + F.shiftrightunsigned(h, bit).bitwiseAND(F.lit(1))
 
-    sig = F.lit(0).cast("long")
-    for b in range(SIMHASH_MD5_BITS):
-        sig = sig + F.when(_ones(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
-    return sig
+            return F.aggregate(hsv, F.lit(0).cast("long"), merge)
+
+        sig = F.lit(0).cast("long")
+        for b in range(SIMHASH_MD5_BITS):
+            sig = sig + F.when(_ones(b) * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+        return sig
+
+    return let_col(hs, _sig)
 
 
 def simhash_near_dups(

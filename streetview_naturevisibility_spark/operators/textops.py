@@ -129,6 +129,8 @@ def fingerprint_col(text_col: str, window: int = 8):
     (documents shorter than the window fold their full run). The
     oracle-exact contract twin of the uint64 NumPy fast path
     (fingerprint_udf); same winnowing semantics, smaller hash domain."""
+    from ..functions.hof import let_col
+
     mod = F.lit(1 << FP_MOD_BITS)
     toks = F.split(F.col(text_col), " ")
     hs = F.transform(
@@ -137,7 +139,6 @@ def fingerprint_col(text_col: str, window: int = 8):
             F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), mod
         ),
     )
-    n = F.size(hs)
 
     def _roll(run):
         return F.aggregate(
@@ -146,11 +147,18 @@ def fingerprint_col(text_col: str, window: int = 8):
             lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, mod),
         )
 
-    runs = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1))),
-        lambda i: _roll(F.slice(hs, i, window)),
-    )
-    return F.array_min(runs)
+    # let-bind hs: the per-window slices and the size() bound would
+    # otherwise re-run the md5 token hashing once per window
+    def _min_window(hsv):
+        runs = F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(hsv) - F.lit(window - 1), F.lit(1))
+            ),
+            lambda i: _roll(F.slice(hsv, i, window)),
+        )
+        return F.array_min(runs)
+
+    return let_col(hs, _min_window)
 
 
 def analyze_documents(
