@@ -93,6 +93,19 @@ def _cap_buckets(
     return buckets.join(keep, keys), metrics
 
 
+def jaccard_col(ta, tb):
+    """Exact token/shingle-set Jaccard |A∩B| / |A∪B| with the
+    intersection size evaluated ONCE (let-bound — it appears in both
+    numerator and denominator, and Catalyst would otherwise compute
+    the array_intersect twice per pair)."""
+    from ..functions.hof import let_col
+
+    return let_col(
+        F.size(F.array_intersect(ta, tb)).cast("double"),
+        lambda ix: ix / (F.size(ta) + F.size(tb) - ix),
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by content digest: keeper = min id per digest."""
     return df.groupBy(F.md5(F.col(text_col)).alias("digest")).agg(
@@ -210,14 +223,7 @@ def minhash_lsh_pairs(
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b"))
-            / (
-                F.size("sh_a") + F.size("sh_b")
-                - F.size(F.array_intersect("sh_a", "sh_b"))
-            ).cast("double"),
-        )
+        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= F.lit(jaccard_threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -410,13 +416,7 @@ def token_jaccard_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (
-                F.size(F.array_intersect("a.tk", "b.tk"))
-                / (
-                    F.size("a.tk") + F.size("b.tk")
-                    - F.size(F.array_intersect("a.tk", "b.tk"))
-                ).cast("double")
-            ).alias("jaccard"),
+            jaccard_col(F.col("a.tk"), F.col("b.tk")).alias("jaccard"),
         )
         .distinct()
         .where(F.col("jaccard") >= F.lit(threshold))
