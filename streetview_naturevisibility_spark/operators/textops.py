@@ -33,14 +33,36 @@ def lang_score_col(text_col: str, lang: str):
 def lang_id_col(text_col: str):
     """Heuristic language ID: argmax over stopword hit counts, fold
     tie-break (first language in alphabetical order wins ties) — the
-    exact rule is mirrored by a CASE chain in the DuckDB oracle."""
-    s = {lang: lang_score_col(text_col, lang) for lang in ("de", "en", "fr", "nl")}
-    return (
-        F.when(s["nl"] > F.greatest(s["de"], s["en"], s["fr"]), F.lit("nl"))
-        .when(s["fr"] > F.greatest(s["de"], s["en"]), F.lit("fr"))
-        .when(s["en"] > s["de"], F.lit("en"))
-        .otherwise(F.lit("de"))
-    )
+    exact rule is mirrored by a CASE chain in the DuckDB oracle.
+
+    Nested let-binding: the distinct-token array is computed once and
+    the four stopword-hit counts once each; the naive CASE chain
+    re-evaluates the split+distinct up to 7 times (see hof.let_col)."""
+    from ..functions.hof import let_col
+
+    langs = ("de", "en", "fr", "nl")
+
+    def _scores(d):
+        return F.array(
+            *[
+                F.size(
+                    F.array_intersect(d, F.array(*[F.lit(w) for w in STOPWORDS[l]]))
+                )
+                for l in langs
+            ]
+        )
+
+    def _case(sv):
+        s = {lang: F.element_at(sv, i + 1) for i, lang in enumerate(langs)}
+        return (
+            F.when(s["nl"] > F.greatest(s["de"], s["en"], s["fr"]), F.lit("nl"))
+            .when(s["fr"] > F.greatest(s["de"], s["en"]), F.lit("fr"))
+            .when(s["en"] > s["de"], F.lit("en"))
+            .otherwise(F.lit("de"))
+        )
+
+    dtk = F.array_distinct(F.split(F.col(text_col), " "))
+    return let_col(dtk, lambda d: let_col(_scores(d), _case))
 
 
 def quality_score_cols(text_col: str) -> dict[str, F.Column]:
@@ -52,11 +74,22 @@ def quality_score_cols(text_col: str) -> dict[str, F.Column]:
     alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
     alpha_ratio = alpha_chars / n_chars
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    score = (
-        F.when((n_tokens >= 50) & (n_tokens <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.when((mean_tok >= 3) & (mean_tok <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
-        + F.when(alpha_ratio >= 0.6, F.lit(0.2)).otherwise(F.lit(0.0))
-        + F.when(distinct_ratio >= 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+
+    # let-bind the four features: the composite CASE sum references
+    # n_tokens/mean_tok twice each — naive form re-splits the text ~5x
+    from ..functions.hof import let_col
+
+    def _score(v):
+        nt, mt, ar, dr = (F.element_at(v, i) for i in (1, 2, 3, 4))
+        return (
+            F.when((nt >= 50) & (nt <= 100000), F.lit(0.4)).otherwise(F.lit(0.0))
+            + F.when((mt >= 3) & (mt <= 12), F.lit(0.3)).otherwise(F.lit(0.0))
+            + F.when(ar >= 0.6, F.lit(0.2)).otherwise(F.lit(0.0))
+            + F.when(dr >= 0.1, F.lit(0.1)).otherwise(F.lit(0.0))
+        )
+
+    score = let_col(
+        F.array(n_tokens, mean_tok, alpha_ratio, distinct_ratio), _score
     )
     return {
         "n_tokens": F.size(toks).cast("long"),
