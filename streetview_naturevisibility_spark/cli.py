@@ -213,6 +213,22 @@ def cmd_curate(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_layout(args: argparse.Namespace) -> None:
+    """Rewrite a pages/points parquet clustered by Z-order of
+    (tile_x, tile_y): disjoint per-file morton ranges + tight tile
+    min/max stats, so bbox scans skip files (sources/layout.py)."""
+    from .sources.layout import write_spatial_sorted
+
+    spark = get_spark(app_name="svnv-layout", master=args.master)
+    df = spark.read.parquet(args.input)
+    write_spatial_sorted(
+        df, args.out, x_col=args.x_col, y_col=args.y_col,
+        num_files=args.num_files,
+    )
+    n = spark.read.parquet(args.out).count()
+    print(f"[layout] wrote {n} rows z-ordered by ({args.x_col}, {args.y_col}) -> {args.out}")
+
+
 def main() -> None:
     p = argparse.ArgumentParser(prog="svnv-spark")
     p.add_argument("--master", default=None)
@@ -254,6 +270,14 @@ def main() -> None:
     )
     pc.add_argument("--default-rate", type=float, default=1.0)
     pc.set_defaults(fn=cmd_curate)
+
+    pl = sub.add_parser("layout")
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--out", required=True)
+    pl.add_argument("--x-col", default="tile_x")
+    pl.add_argument("--y-col", default="tile_y")
+    pl.add_argument("--num-files", type=int, default=None)
+    pl.set_defaults(fn=cmd_layout)
 
     args = p.parse_args()
     args.fn(args)

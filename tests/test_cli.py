@@ -127,3 +127,19 @@ class TestCurate:
             cur.groupBy(F.md5("text")).count().where("count > 1").count() == 0
         )
         assert "weight" in cur.columns
+
+
+class TestLayout:
+    def test_layout_subcommand(self, spark, tmp_path):
+        from streetview_naturevisibility_spark.sources import derived as D
+
+        src = str(tmp_path / "src")
+        D.spark_pages(spark, "/root/testdata/sf0.001").select(
+            "doc_id", "tile_x", "tile_y"
+        ).write.parquet(src)
+        out = str(tmp_path / "z")
+        args = _ns(input=src, out=out, x_col="tile_x", y_col="tile_y", num_files=4)
+        cli.cmd_layout(args)
+        got = spark.read.parquet(out)
+        assert "_morton" in got.columns
+        assert got.count() == spark.read.parquet(src).count()
