@@ -176,6 +176,7 @@ def minhash_lsh_pairs(
     max_bucket: int | None = None,
     return_metrics: bool = False,
     hash_method: str = "xxhash64",
+    verify_prefilter: bool = False,
 ) -> DataFrame:
     """Candidate pairs via banded LSH, verified with exact token-shingle
     Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b; with
@@ -217,9 +218,25 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, n).alias("sh")
-    )
+    # Default verify: shingle every doc once and join candidates to it
+    # — ONE evaluation of the candidate subtree, one corpus-wide
+    # shingle pass (the signature stage already paid one; this is the
+    # second). verify_prefilter=True instead materializes the (assumed
+    # small) candidate set eagerly and BROADCAST-semi-joins the corpus
+    # down to candidate members before shingling — no corpus shuffle at
+    # all, but only pays off when the duplicate fraction is small
+    # enough for the member-id set to broadcast; measured SLOWER at
+    # contract scale (extra job boundaries), so it is opt-in.
+    sh_src = df.select(F.col(id_col).alias("id"), F.col(text_col))
+    if verify_prefilter:
+        cand = cand.localCheckpoint(eager=True)
+        cand_ids = (
+            cand.select(F.col("id_a").alias("id"))
+            .union(cand.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh_src = sh_src.join(F.broadcast(cand_ids), "id", "left_semi")
+    sh = sh_src.select("id", shingles_col(text_col, n).alias("sh"))
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
