@@ -38,32 +38,110 @@ from streetview_naturevisibility_spark.operators.dedup import shingles_col
 # ------------------------------------------------------------------
 # connected components over near-dup pairs
 # ------------------------------------------------------------------
+def _cc_star(edges: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond"): O(log^2 n)
+    rounds regardless of component diameter. Each round is two
+    neighborhood-min passes (groupBy + join); the edge frame is eagerly
+    localCheckpoint-ed per round (bounded lineage, cleaner-reclaimed).
+    Converges when the edge set is a stable star forest: every node
+    linked directly to its component minimum. Returns (id, lbl)."""
+
+    def nbr_min(e: DataFrame) -> DataFrame:
+        # m(u) = min over Γ(u) ∪ {u}
+        return (
+            e.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+        )
+
+    for _ in range(max_iters):
+        # large-star: for v in Γ(u) with v > u, link (v, m(u))
+        m = nbr_min(edges)
+        large = (
+            edges.join(m, "src")
+            .where(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        # symmetric closure for the next neighborhood pass
+        e2 = (
+            large.union(large.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: orient edges to (big, small); link every small
+        # neighbor (and the center) to the minimum
+        oriented = e2.where(F.col("dst") < F.col("src"))
+        m2 = (
+            oriented.groupBy("src")
+            .agg(F.min("dst").alias("m"))
+        )
+        small = (
+            oriented.join(m2, "src")
+            .select(F.col("dst").alias("v"), F.col("m"))
+            .union(oriented.join(m2, "src").select(F.col("src").alias("v"), F.col("m")))
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+        edges_next = (
+            small.union(small.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # stable star forest: every edge already points at the root
+        # (src>dst side equals its own min) — detected when the edge
+        # set stops changing (count + order-independent xor-of-hashes
+        # fingerprint; xor cannot overflow under ANSI mode)
+        def _fp(e):
+            return e.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+            ).first()
+
+        stats_prev = _fp(edges)
+        stats_next = _fp(edges_next)
+        edges = edges_next
+        if (stats_prev.n, stats_prev.h) == (stats_next.n, stats_next.h):
+            break
+    # star forest: (child, root) edges with child > root, plus roots
+    labels = edges.where(F.col("src") > F.col("dst")).select(
+        F.col("src").alias("id"), F.col("dst").alias("lbl")
+    )
+    roots = edges.select(F.col("dst").alias("id")).subtract(
+        labels.select("id")
+    ).select("id", F.col("id").alias("lbl"))
+    return labels.union(roots)
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Connected components over an undirected pair list -> one row per
     member node: (doc_id, cluster_id, cluster_size), where cluster_id
     is the MINIMUM doc id in the component (the canonical keeper).
 
-    Algorithm: iterative min-label propagation. Each round is one
-    shuffle join (edges x labels on src) plus a groupBy(dst) min — the
-    label frame is node-sized (#docs that appear in any pair, far
-    smaller than the corpus), and each round's result is eagerly
-    ``localCheckpoint``-ed so the lineage never grows and superseded
-    round results are released by the context cleaner (no persist
-    leak). Convergence is detected by counting changed labels
-    (one tiny aggregate per round).
+    Two algorithms, same output:
 
-    Rounds needed = component diameter. Near-dup clusters are
-    near-cliques (every member shares shingles with most others), so
-    diameter is small (2-4) regardless of corpus size; ``max_iters``
-    is a guard, not a budget. For adversarial long-chain graphs use
-    the alternating large-star/small-star formulation (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") — same join
-    primitive, O(log^2 n) rounds; not needed for dedup graphs.
+    - ``"propagation"`` (default): iterative min-label propagation.
+      Each round is one shuffle join (edges x labels on src) plus a
+      groupBy(dst) min — the label frame is node-sized (#docs that
+      appear in any pair, far smaller than the corpus), and each
+      round's result is eagerly ``localCheckpoint``-ed so the lineage
+      never grows and superseded round results are released by the
+      context cleaner (no persist leak). Convergence = zero changed
+      labels (one tiny aggregate per round). Rounds needed = component
+      DIAMETER — right for dedup graphs, whose clusters are
+      near-cliques (diameter 2-4 at any corpus size).
+    - ``"star"``: alternating large-star/small-star (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — O(log^2 n)
+      rounds regardless of diameter; use for adversarial/chain-shaped
+      graphs (e.g. transitive similarity chains) where propagation
+      would loop diameter times.
 
     The pair input is materialized ONCE (eager localCheckpoint): the
     upstream LSH pipeline is the expensive part and must not re-run
@@ -75,6 +153,14 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if algorithm == "star":
+        labels = _cc_star(edges, max_iters)
+        sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+        return labels.join(sizes, "lbl").select(
+            F.col("id").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -84,6 +84,47 @@ def test_clusters_random_graph(spark):
     _check_clusters(spark, pairs)
 
 
+def _check_star(spark, pairs: list[tuple[int, int]]):
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    got = {
+        r.doc_id: (r.cluster_id, r.cluster_size)
+        for r in duplicate_clusters(pdf, algorithm="star").collect()
+    }
+    want = _uf_clusters(pairs)
+    sizes: dict[int, int] = {}
+    for x, m in want.items():
+        sizes[m] = sizes.get(m, 0) + 1
+    assert got == {x: (m, sizes[m]) for x, m in want.items()}
+
+
+def test_star_basic_and_pair(spark):
+    _check_star(spark, [(1, 2), (2, 3), (1, 3), (10, 11)])
+
+
+def test_star_long_chain(spark):
+    # the adversarial shape star exists for: O(log^2 n) rounds vs the
+    # propagation algorithm's O(diameter)
+    _check_star(spark, [(i, i + 1) for i in range(40)])
+
+
+def test_star_interior_minimum(spark):
+    # component minimum is an interior node, not an endpoint
+    _check_star(spark, [(5, 9), (9, 2), (7, 9), (30, 31), (31, 28)])
+
+
+def test_star_random_graph_matches_propagation(spark):
+    rng = np.random.RandomState(13)
+    pairs = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, 80, size=(100, 2))
+        if a != b
+    ]
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    a = sorted(map(tuple, duplicate_clusters(pdf, algorithm="star").collect()))
+    b = sorted(map(tuple, duplicate_clusters(pdf).collect()))
+    assert a == b
+
+
 def test_clusters_merge_order_independent(spark):
     # same graph, reversed edge orientation and order -> same clusters
     pairs = [(5, 9), (9, 2), (30, 31), (2, 40)]
