@@ -1,0 +1,138 @@
+"""Corpus-ops throughput evidence: the training-data operator family
+(exact dedup, MinHash-LSH near-dup + clustering, text analysis,
+fingerprint, stratified sample) over N synthetic documents generated
+DISTRIBUTED (hash-derived text, never collected), fast paths only
+(xxhash64 / NumPy) — the production configuration, not the md5
+oracle-portable twins the contract gate times.
+
+Planted duplicate structure: every 100th doc is a near-copy of its
+predecessor (one token appended), so the LSH stage has real work and a
+known expected pair floor.
+
+Usage: python BENCH/corpus_scale.py [n_docs] [cpus]
+Appends one JSON line to stdout; record notable runs in
+BENCH/BASELINE.md. Do not run other Spark work concurrently.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.session import get_spark
+
+VOCAB = 30_000
+WORDS_PER_DOC = 40
+
+
+def synthetic_docs(spark, n: int, partitions: int):
+    """Deterministic distributed corpus: ~40 hash-derived tokens per
+    doc; doc_id % 100 == 1 repeats the predecessor's token stream plus
+    one extra token (a planted near-duplicate at Jaccard ~0.95)."""
+    base = F.col("id") - (F.col("id") % 100 == 1).cast("long")
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base * F.lit(41) + i), F.lit(VOCAB)).cast("string"),
+        ),
+    )
+    text = F.when(
+        F.col("id") % 100 == 1,
+        F.concat(F.array_join(words, " "), F.lit(" extra")),
+    ).otherwise(F.array_join(words, " "))
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+        (F.col("id") % 5 + 1).cast("int"),
+    )
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("doc_id"), text.alias("text"), lang.alias("lang")
+    )
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = get_spark(
+        app_name="svnv-corpus-scale", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import tempfile
+
+    # stage the corpus as parquet and time the operators over a real
+    # table scan (the 100 TB-realistic input), not over the generator
+    stage = os.path.join(tempfile.mkdtemp(prefix="corpus_scale_"), "docs")
+    synthetic_docs(spark, n, 4 * cpus).write.mode("overwrite").parquet(stage)
+    docs = spark.read.parquet(stage)
+    docs.count()  # reader warm-up
+
+    from streetview_naturevisibility_spark.operators.corpus import (
+        duplicate_clusters,
+        stratified_sample,
+    )
+    from streetview_naturevisibility_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from streetview_naturevisibility_spark.operators.textops import analyze_documents
+
+    out: dict[str, float] = {}
+
+    t0 = time.time()
+    n_groups = exact_dedup(docs).count()
+    out["exact_dedup_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    analyze_documents(docs).write.format("noop").mode("overwrite").save()
+    out["analyze_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, max_bucket=100_000
+    )
+    n_pairs = pairs.count()
+    out["minhash_lsh_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_clustered = duplicate_clusters(
+        minhash_lsh_pairs(docs, jaccard_threshold=0.5, max_bucket=100_000)
+    ).count()
+    out["dup_clusters_s"] = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    n_sampled = stratified_sample(
+        docs, "lang", {"en": 0.1, "de": 0.5, "fr": 0.9, "es": 0.3, "zh": 0.05},
+        "doc_id",
+    ).count()
+    out["stratified_sample_s"] = round(time.time() - t0, 2)
+
+    planted = n // 100
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_ops_wall_sec",
+                "n_docs": n,
+                "cpus": cpus,
+                "times": out,
+                "docs_per_sec": {
+                    k.removesuffix("_s"): round(n / v) for k, v in out.items()
+                },
+                "n_dedup_groups": n_groups,
+                "n_near_dup_pairs": n_pairs,
+                "n_clustered_docs": n_clustered,
+                "n_sampled": n_sampled,
+                "planted_near_dups": planted,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
