@@ -285,7 +285,17 @@ def minhash_lsh_pairs(
             .distinct()
         )
         sh_src = sh_src.join(F.broadcast(cand_ids), "id", "left_semi")
-    sh = sh_src.select("id", shingles_col(text_col, n).alias("sh"))
+    # tokenmix verify compares the distinct shingle-HASH sets (no
+    # shingle strings built on the verify pass either): Jaccard over
+    # 32-bit hash sets equals Jaccard over shingle sets up to a ~2^-32
+    # per-pair collision probability — the standard trade for the fast
+    # path; the md5 oracle path verifies over exact shingle strings.
+    sh_expr = (
+        tokenmix_shingle_hashes(text_col, n)
+        if hash_method == "tokenmix"
+        else shingles_col(text_col, n)
+    )
+    sh = sh_src.select("id", sh_expr.alias("sh"))
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
