@@ -150,6 +150,10 @@ def duplicate_clusters(
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        # self-pairs carry no connectivity; drop them at entry so both
+        # algorithms treat them identically (a doc paired only with
+        # itself is not clustered)
+        .where(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )

@@ -115,6 +115,46 @@ def stream_dedup_within_watermark(
     q.awaitTermination()
 
 
+def stream_dedup_content(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "24 hours",
+) -> None:
+    """Streaming EXACT content dedup: drop re-crawled byte-identical
+    documents by content digest as shards arrive (the streaming twin of
+    ``dedup.exact_dedup``). Without an event-time column the digest
+    state is unbounded (correct but growing); pass ``ts_col`` to bound
+    state with ``dropDuplicatesWithinWatermark`` — duplicates arriving
+    within the watermark delay collapse, older re-crawls are treated as
+    fresh (the standard trade)."""
+    schema = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(schema).parquet(docs_path).withColumn(
+        "_digest", F.md5(F.col(text_col))
+    )
+    if ts_col is not None:
+        stream = (
+            stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_digest"])
+        )
+    else:
+        stream = stream.dropDuplicates(["_digest"])
+    q = (
+        stream.drop("_digest")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_events_availablenow(
     spark: SparkSession,
     events_path: str,

@@ -125,6 +125,17 @@ def test_star_random_graph_matches_propagation(spark):
     assert a == b
 
 
+def test_self_pairs_and_duplicates_ignored_consistently(spark):
+    # self-pairs and repeated pairs must not change clustering, and
+    # both algorithms must agree (a doc paired only with itself is
+    # not clustered)
+    pairs = [(1, 1), (1, 2), (2, 1), (1, 2), (7, 7)]
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    a = sorted(map(tuple, duplicate_clusters(pdf).collect()))
+    b = sorted(map(tuple, duplicate_clusters(pdf, algorithm="star").collect()))
+    assert a == b == [(1, 1, 2), (2, 1, 2)]
+
+
 def test_clusters_merge_order_independent(spark):
     # same graph, reversed edge orientation and order -> same clusters
     pairs = [(5, 9), (9, 2), (30, 31), (2, 40)]

@@ -148,6 +148,26 @@ class TestStreamDedup:
         assert got.count() == n_ids
         assert got.select("event_id").distinct().count() == n_ids
 
+    def test_content_dedup_drops_recrawls(self, spark, tmp_path):
+        # re-crawled byte-identical docs collapse by content digest
+        from streetview_naturevisibility_spark.streaming.events import (
+            stream_dedup_content,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        src = str(tmp_path / "src")
+        docs.write.mode("overwrite").parquet(src)
+        # recrawl: same text under new doc_ids
+        docs.limit(20).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        ).write.mode("append").parquet(src)
+        out = str(tmp_path / "out")
+        stream_dedup_content(spark, src, out, str(tmp_path / "ckpt"))
+        got = spark.read.parquet(out)
+        n_texts = docs.select("text").distinct().count()
+        assert got.count() == n_texts
+        assert got.select("text").distinct().count() == n_texts
+
 
 class TestSkewSalting:
     def test_hot_cells_detected_and_salted(self, spark):
