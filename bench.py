@@ -124,11 +124,14 @@ def synthetic_html_pages(spark: SparkSession, n: int, partitions: int | None = N
 
 
 def bench_pipeline_throughput(
-    spark: SparkSession, sf_dir: str, n_pages: int
+    spark: SparkSession, sf_dir: str, n_pages: int, engine: str = "arrow"
 ) -> tuple[float, float]:
     """The north-star workload end-to-end: html pages -> extract_text +
-    parse_coords (Arrow UDFs) -> UTM -> tile/cell (codegen) -> kNN snap
-    -> per-road reduce. Pages/sec includes the Python extraction cost."""
+    parse_coords -> UTM -> tile/cell -> kNN snap -> per-road reduce.
+    engine="arrow" (fused Arrow UDF, the r1-r3 recorded protocol) or
+    "jvm" (pure-codegen regex+Krüger, zero Python workers) — measured
+    within noise of each other on one node; the jvm leg exists because
+    a no-Python pipeline scales on N threads, not ~2N."""
     from streetview_naturevisibility_spark.geo.cells import zoom_for_radius
     from streetview_naturevisibility_spark.geo.mercator import tile_x_col, tile_y_col
     from streetview_naturevisibility_spark.operators.tiling import prepare_pages
@@ -143,7 +146,7 @@ def bench_pipeline_throughput(
     raw = synthetic_html_pages(spark, n_pages)
     # doc_id flows through prepare_pages — never re-derive keys from
     # strings in the hot path
-    pages = prepare_pages(raw, zoom=zoom, keep_text=False)
+    pages = prepare_pages(raw, zoom=zoom, keep_text=False, engine=engine)
     t0 = time.time()  # include the eager two_phase materialization
     snapped = knn_snap(
         points, pages, max_distance=2 * SNAP_BENCH_RADIUS, zoom=zoom, key_col="doc_id"
@@ -224,6 +227,10 @@ def main() -> None:
     spark.catalog.clearCache()
     pipe_sec, pages_per_sec = bench_pipeline_throughput(spark, sf_dir, n_pages)
     times["full_pipeline_pages"] = round(pipe_sec, 3)
+    bench_pipeline_throughput(spark, sf_dir, n_pages, engine="jvm")
+    spark.catalog.clearCache()
+    jvm_sec, jvm_pps = bench_pipeline_throughput(spark, sf_dir, n_pages, engine="jvm")
+    times["full_pipeline_jvm_pages"] = round(jvm_sec, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -236,6 +243,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "pages_per_sec": round(pages_per_sec),
+                "pages_per_sec_jvm": round(jvm_pps),
                 "snap_kernel_pages_per_sec": round(kernel_pps),
                 "bench_pages": n_pages,
                 "cpus": int(cpus),

@@ -29,15 +29,54 @@ def prepare_pages(
     zoom: int = 14,
     utm_zone: int = 31,
     keep_text: bool = True,
+    engine: str = "jvm",
 ) -> DataFrame:
     """pages(url, warc_ts, html, lang, is_panoramic) ->
     (url, warc_ts, lang, is_panoramic[, text], lon, lat, x, y,
-    tile_x, tile_y, cell_id)."""
-    parse_page = make_page_parser(utm_zone, keep_text)
+    tile_x, tile_y, cell_id).
 
-    df = pages_raw.withColumn("_p", parse_page(F.col("html")))
+    ``engine="jvm"`` (default): the extraction regexes and the Krüger
+    UTM series run as pure Column expressions — the WHOLE pages
+    pipeline is whole-stage codegen, zero Python workers (text is
+    byte-identical to the Arrow kernel, pytest-gated; x/y agree to
+    ~1e-9 m, see geo/utm.utm_cols). ``engine="arrow"``: the fused
+    Arrow pandas-UDF parser (one Python round trip) — the twin kept
+    for A/B evidence and as the template for payloads that genuinely
+    need Python."""
     keep = ["doc_id", "url", "warc_ts", "lang", "is_panoramic"]
     keep = [c for c in keep if c in pages_raw.columns]
+
+    if engine == "jvm":
+        from ..geo.utm import with_utm
+
+        html_s = F.col("html").cast("string")
+        nan = F.lit(float("nan"))
+        # regexp_extract returns "" on no-match — exactly the kernel's
+        # fill; try_cast('') -> NULL, coalesced to NaN to mirror the
+        # Arrow path's miss value
+        lat = F.coalesce(
+            F.regexp_extract(
+                html_s, r"data-lat='([^']*)' data-lon='([^']*)'", 1
+            ).try_cast("double"),
+            nan,
+        )
+        lon = F.coalesce(
+            F.regexp_extract(
+                html_s, r"data-lat='([^']*)' data-lon='([^']*)'", 2
+            ).try_cast("double"),
+            nan,
+        )
+        cols = list(keep)
+        if keep_text:
+            cols.append(
+                F.regexp_extract(html_s, r"(?s)<body><p>(.*?)</p>", 1).alias("text")
+            )
+        df = pages_raw.select(*cols, lon.alias("lon"), lat.alias("lat"))
+        df = with_utm(df, "lon", "lat", utm_zone)
+        return with_cell(df, "lon", "lat", zoom)
+
+    parse_page = make_page_parser(utm_zone, keep_text)
+    df = pages_raw.withColumn("_p", parse_page(F.col("html")))
     fields = (["text"] if keep_text else []) + ["lon", "lat", "x", "y"]
     df = df.select(*keep, *[F.col(f"_p.{f}").alias(f) for f in fields])
     return with_cell(df, "lon", "lat", zoom)
