@@ -31,17 +31,19 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 from streetview_naturevisibility_spark.session import get_spark
 from bench import bench_pipeline_throughput
 
+engine = os.environ.get("SPARK_GRAFT_SCALING_ENGINE", "arrow")
+
 cpus = int(sys.argv[1])
 n_pages = int(sys.argv[2])
 spark = get_spark(app_name=f"svnv-scaling-{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=max(cpus, 8))
 spark.sparkContext.setLogLevel("ERROR")
 sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-bench_pipeline_throughput(spark, sf_dir, n_pages)  # full-size warm-up
+bench_pipeline_throughput(spark, sf_dir, n_pages, engine=engine)  # full-size warm-up
 # the two-phase kNN reduce persists candidates and CacheManager matches
 # canonical plans — clear so the timed run re-executes the full scan
 spark.catalog.clearCache()
-sec, pps = bench_pipeline_throughput(spark, sf_dir, n_pages)
+sec, pps = bench_pipeline_throughput(spark, sf_dir, n_pages, engine=engine)
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": sec, "pages_per_sec": pps}}))
 """
 
