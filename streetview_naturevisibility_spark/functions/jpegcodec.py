@@ -1,0 +1,453 @@
+"""Baseline JPEG (ITU T.81 SOF0) codec — stdlib + NumPy only.
+
+Upgrades the engine's last fake image decoder to REAL: no PIL/libjpeg
+exists in the environment, so the format is implemented from the
+public spec. Scope (honest):
+
+- decoder: baseline sequential DCT, 8-bit, grayscale or YCbCr with
+  ANY sampling factors (4:4:4 / 4:2:2 / 4:2:0 via the generic
+  Hmax/Vmax MCU walk), tables read from the file's own DQT/DHT
+  segments, 0xFF00 byte-unstuffing, restart markers supported.
+  Progressive (SOF2), arithmetic coding and 12-bit precision raise
+  ``ValueError`` — parsed and rejected, never silently faked.
+- encoder (fixture/test helper): 4:4:4 or grayscale, fixed mild
+  quantization, SIMPLE canonical Huffman tables (every DC category at
+  4 bits, every AC symbol at 9 bits). JPEG embeds its tables in
+  DQT/DHT, so simple-but-valid tables trade compression ratio for
+  having zero spec tables hardcoded from memory — the bitstream
+  format, not the table contents, is the spec surface.
+
+Numerics: orthonormal 8x8 DCT-II as a matrix product (T @ B @ T.T),
+IDCT its transpose. A uniform-128 image maps to all-zero coefficients
+and therefore roundtrips EXACTLY (pytest anchors this analytically);
+general images roundtrip within quantization error (PSNR-gated).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# orthonormal DCT-II basis
+_T = np.zeros((8, 8))
+for _u in range(8):
+    _a = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
+    for _x in range(8):
+        _T[_u, _x] = _a * np.cos((2.0 * _x + 1.0) * _u * np.pi / 16.0)
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+
+# mild flat-ish quant tables (DC=8 so uniform-128 blocks are exact)
+_QL = np.full((8, 8), 12, dtype=np.int64)
+_QL[0, 0] = 8
+_QC = np.full((8, 8), 16, dtype=np.int64)
+_QC[0, 0] = 8
+
+
+def _canonical_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """BITS (count of codes per length 1..16) + values -> symbol ->
+    (code, length), canonical order (T.81 Annex C)."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# encoder tables: DC categories 0..11 all at 4 bits; AC symbols
+# (run<<4)|size for run 0..15, size 1..10, plus EOB(0x00) and ZRL(0xF0),
+# all at 9 bits. Canonical, incomplete (fine), no all-ones codes.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0]
+_DC_CODES = _canonical_codes(_DC_BITS, _DC_VALS)
+_AC_CODES = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-bit padding per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
+
+
+def _amplitude(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _encode_block(w: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int) -> int:
+    coef = _T @ (block.astype(np.float64) - 128.0) @ _T.T
+    qc = np.round(coef / q).astype(np.int64)
+    zz = qc.flatten()[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _category(diff)
+    c, ln = _DC_CODES[s]
+    w.write(c, ln)
+    if s:
+        w.write(_amplitude(diff, s), s)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for i in range(1, 64):
+        if i > last_nz:
+            c, ln = _AC_CODES[0x00]  # EOB
+            w.write(c, ln)
+            break
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = _AC_CODES[0xF0]  # ZRL
+            w.write(c, ln)
+            run -= 16
+        s = _category(v)
+        c, ln = _AC_CODES[(run << 4) | s]
+        w.write(c, ln)
+        w.write(_amplitude(v, s), s)
+        run = 0
+    return dc
+
+
+def _pad8(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def encode_jpeg(img: np.ndarray) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
+    (4:4:4, simple tables — fixture/test helper)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if gray:
+        planes = [img.astype(np.float64)]
+        qids = [0]
+    else:
+        r = img[..., 0].astype(np.float64)
+        g = img[..., 1].astype(np.float64)
+        b = img[..., 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+        qids = [0, 1, 1]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (two tables)
+    for tid, q in ((0, _QL), (1, _QC)) if not gray else ((0, _QL),):
+        seg = bytes([tid]) + bytes(int(v) for v in q.flatten()[_ZIGZAG])
+        out += b"\xff\xdb" + struct.pack(">H", len(seg) + 2) + seg
+    # SOF0
+    comps = b""
+    for i in range(len(planes)):
+        comps += bytes([i + 1, 0x11, qids[i]])
+    seg = struct.pack(">BHHB", 8, h, w, len(planes)) + comps
+    out += b"\xff\xc0" + struct.pack(">H", len(seg) + 2) + seg
+    # DHT: class 0 (DC) id 0, class 1 (AC) id 0 — shared by all comps
+    for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        seg = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(seg) + 2) + seg
+    # SOS
+    comps = b""
+    for i in range(len(planes)):
+        comps += bytes([i + 1, 0x00])
+    seg = bytes([len(planes)]) + comps + bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(seg) + 2) + seg
+
+    wtr = _BitWriter()
+    padded = [_pad8(p) for p in planes]
+    ph, pw = padded[0].shape
+    preds = [0] * len(planes)
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(padded):
+                q = _QL if qids[ci] == 0 else _QC
+                preds[ci] = _encode_block(
+                    wtr, plane[by : by + 8, bx : bx + 8], q, preds[ci]
+                )
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy data truncated")
+        self.acc = (self.acc << 8) | self.data[self.pos]
+        self.pos += 1
+        self.n += 8
+
+    def bits(self, k: int) -> int:
+        while self.n < k:
+            self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def reset(self) -> None:  # restart-interval boundary
+        self.acc = 0
+        self.n = 0
+
+
+def _build_decode(bits: list[int], vals: list[int]):
+    """-> dict (length, code) -> symbol for bit-serial canonical decode."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(r: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bits(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 (h, w) or (h, w, 3) array."""
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, struct.error) as e:
+        # malformed/truncated streams surface as ValueError, like every
+        # other decoder in this package
+        raise ValueError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"\xff\xd8"):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    h = w = 0
+    restart = 0
+    data = None
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        ln = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[tid] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                huff[(cls, tid)] = _build_decode(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, q = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": q})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("progressive/extended JPEG unsupported (baseline only)")
+        elif marker == 0xDD:  # DRI
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for i in range(ns):
+                cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_comps.append({"id": cid, "dc": tables >> 4, "ac": tables & 0xF})
+            # entropy data runs to the next real marker
+            start = pos
+            p = pos
+            chunks = []
+            while p < len(payload) - 1:
+                if payload[p] == 0xFF:
+                    nxt = payload[p + 1]
+                    if nxt == 0x00:
+                        chunks.append(payload[start : p + 1])
+                        p += 2
+                        start = p
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:  # RST
+                        chunks.append(payload[start:p])
+                        chunks.append(b"\xff" + bytes([nxt]))
+                        p += 2
+                        start = p
+                        continue
+                    chunks.append(payload[start:p])
+                    break
+                p += 1
+            else:
+                chunks.append(payload[start:])
+            data = b"".join(chunks)
+            pos = p
+        # APPn/COM and others: skipped via length
+
+    if comps is None or data is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+        c["cw"], c["ch"] = cw, ch
+
+    by_id = {c["id"]: (i, c) for i, c in enumerate(comps)}
+    preds = [0] * len(comps)
+    mcu_count = 0
+    # split entropy data at RST markers; each segment resets the bit
+    # phase and the DC predictors
+    segments = []
+    p0 = 0
+    i = 0
+    while i < len(data) - 1:
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7:
+            segments.append(data[p0:i])
+            p0 = i + 2
+            i += 2
+        else:
+            i += 1
+    segments.append(data[p0:])
+    seg_idx = 0
+    r = _BitReader(segments[0])
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                seg_idx += 1
+                if seg_idx < len(segments):
+                    r = _BitReader(segments[seg_idx])
+                    preds = [0] * len(comps)
+            for sc in scan_comps:
+                ci, c = by_id[sc["id"]]
+                for v_ in range(c["v"]):
+                    for h_ in range(c["h"]):
+                        dct = huff[(0, sc["dc"])]
+                        act = huff[(1, sc["ac"])]
+                        s = _read_symbol(r, dct)
+                        diff = _extend(r.bits(s), s) if s else 0
+                        preds[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _read_symbol(r, act)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += sym >> 4
+                            sz = sym & 0xF
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(r.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_ZIGZAG] = zz * qt[c["q"]].flatten()[_ZIGZAG]
+                        block = _T.T @ coef.reshape(8, 8) @ _T + 128.0
+                        y0 = (my * c["v"] + v_) * 8
+                        x0 = (mx * c["h"] + h_) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+
+    # crop to component size, upsample to full resolution
+    full = []
+    for i, c in enumerate(comps):
+        p = planes[i][: c["ch"], : c["cw"]]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full
+    r_ = y + 1.402 * (cr - 128.0)
+    g_ = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r_, g_, b_], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

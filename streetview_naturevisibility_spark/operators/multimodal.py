@@ -295,8 +295,10 @@ def _fake_decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """Dispatch: REAL pure-NumPy decode for PNM/BMP payloads, the
-    documented deterministic fake for compressed formats."""
+    """Dispatch: REAL decode for PNM/BMP/PNG/baseline-JPEG payloads
+    (all stdlib+NumPy, see functions/jpegcodec.py for the JPEG scope);
+    the documented deterministic fake remains only for genuinely
+    codec-bound formats (MP4 frames)."""
     payload = bytes(payload)
     if payload.startswith((b"P5", b"P6")):
         return decode_pnm(payload)
@@ -304,7 +306,29 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         return decode_bmp(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(b"\xff\xd8"):
+        from ..functions.jpegcodec import decode_jpeg
+
+        img = decode_jpeg(payload)
+        # grayscale plane for the downstream histogram features
+        return img if img.ndim == 2 else np.round(img.mean(axis=-1)).astype(np.uint8)
     return _fake_decode_image(payload, width, height)
+
+
+def synth_jpeg(i: int, w: int = 24, h: int = 16) -> bytes:
+    """Deterministic REAL baseline-JPEG payload (gradient family, RGB)."""
+    from ..functions.jpegcodec import encode_jpeg
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            ((yy * 7 + xx * 3 + i) % 256),
+            ((yy * 5 + xx * 11 + 2 * i) % 256),
+            ((yy * 3 + xx * 13 + 3 * i) % 256),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    return encode_jpeg(img)
 
 
 def image_features(media: DataFrame, embed_dim: int = 16) -> DataFrame:

@@ -217,3 +217,100 @@ class TestPngDecoder:
             exp_grid = ((xx * 7 + yy * 13 + int(r.media_id) * 31) % 256).astype(np.uint8)
             hist = np.histogram(exp_grid, bins=16, range=(0, 256))[0] / exp_grid.size
             assert np.allclose(np.array(r.embedding), hist, atol=1e-6)
+
+
+class TestJpegCodec:
+    def test_uniform_roundtrip_exact(self):
+        import numpy as np
+
+        from streetview_naturevisibility_spark.functions.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = np.full((16, 24), 128, dtype=np.uint8)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+
+    def test_psnr_bounds_and_shapes(self):
+        import numpy as np
+
+        from streetview_naturevisibility_spark.functions.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        def psnr(a, b):
+            mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+            return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+        rng = np.random.RandomState(0)
+        yy, xx = np.mgrid[0:19, 0:29]
+        gray = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(gray))
+        assert out.shape == gray.shape and psnr(gray, out) > 40
+        rgb = np.stack(
+            [(yy * 5) % 200 + 20, (xx * 6) % 180 + 30, ((yy + xx) * 4) % 160 + 40],
+            axis=-1,
+        ).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(rgb))
+        assert out.shape == rgb.shape and psnr(rgb, out) > 38
+        noise = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+        assert psnr(noise, decode_jpeg(encode_jpeg(noise))) > 30
+        for shape in ((1, 1), (8, 1), (3, 40)):
+            im = rng.randint(0, 256, shape, dtype=np.uint8)
+            assert decode_jpeg(encode_jpeg(im)).shape == im.shape
+
+    def test_rejections(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pt
+
+        from streetview_naturevisibility_spark.functions.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        with _pt.raises(ValueError):
+            decode_jpeg(b"\x89PNG\r\n")
+        # progressive SOF2 must be rejected, not faked
+        seg = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9"
+        with _pt.raises(ValueError, match="progressive"):
+            decode_jpeg(prog)
+        # truncated entropy data
+        full = encode_jpeg(np.full((16, 16), 77, dtype=np.uint8))
+        with _pt.raises(ValueError):
+            decode_jpeg(full[: len(full) // 2])
+
+    def test_media_pipeline_over_jpeg(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            decode_image,
+            image_features,
+            synth_jpeg,
+        )
+
+        rows = [
+            (i, "image", bytearray(synth_jpeg(i)), "image/jpeg", 24, 16, None)
+            for i in range(30)
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id: long, kind: string, payload: binary, mime: string, "
+            "width: int, height: int, duration_ms: int",
+        )
+        a = image_features(media).orderBy("media_id").collect()
+        b = image_features(media).orderBy("media_id").collect()
+        assert [r.asDict() for r in a] == [r.asDict() for r in b]
+        # decoded mean tracks the true pre-encode grayscale mean
+        yy, xx = np.mgrid[0:16, 0:24]
+        img0 = np.stack(
+            [(yy * 7 + xx * 3) % 256, (yy * 5 + xx * 11) % 256, (yy * 3 + xx * 13) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        want = np.round(img0.mean(axis=-1)).astype(np.uint8).mean()
+        got = decode_image(synth_jpeg(0), 24, 16).mean()
+        assert abs(got - want) < 3.0
