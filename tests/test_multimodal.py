@@ -314,3 +314,65 @@ class TestJpegCodec:
         want = np.round(img0.mean(axis=-1)).astype(np.uint8).mean()
         got = decode_image(synth_jpeg(0), 24, 16).mean()
         assert abs(got - want) < 3.0
+
+
+class TestMp4Container:
+    def test_mux_demux_byte_exact(self):
+        from streetview_naturevisibility_spark.functions.mp4box import (
+            encode_mp4,
+            extract_frames,
+            mp4_samples,
+        )
+
+        samples = [bytes([i]) * (10 + 3 * i) for i in range(7)]
+        mp4 = encode_mp4(samples, sample_dur_ms=500)
+        got = mp4_samples(mp4)
+        assert len(got) == 7
+        for i, (off, size, t) in enumerate(got):
+            assert mp4[off : off + size] == samples[i]
+            assert t == 500.0 * i
+        fr = extract_frames(mp4, every_ms=1000)
+        assert [t for _, _, t in fr] == [0.0, 1000.0, 2000.0, 3000.0]
+        assert fr[1][1] == samples[2]
+
+    def test_malformed_rejected(self):
+        import pytest as _pt
+
+        from streetview_naturevisibility_spark.functions.mp4box import mp4_samples
+
+        with _pt.raises(ValueError):
+            mp4_samples(b"\x00\x00\x00\x08abcdjunk")
+        with _pt.raises(ValueError):
+            mp4_samples(b"\x00\x00\x00\x0cftypisom")  # no moov
+
+    def test_spark_frame_sampling_real_bytes(self, spark):
+        import hashlib
+
+        from streetview_naturevisibility_spark.functions.mp4box import mp4_samples
+        from streetview_naturevisibility_spark.operators.multimodal import (
+            sample_video_frames,
+            synth_mp4,
+        )
+
+        rows = [
+            (i, "video", bytearray(synth_mp4(i)), "video/mp4", 8, 8, 3000)
+            for i in range(10)
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_id: long, kind: string, payload: binary, mime: string, "
+            "width: int, height: int, duration_ms: int",
+        )
+        out = sample_video_frames(media, every_ms=1000).orderBy(
+            "media_id", "frame_idx"
+        ).collect()
+        # 6 frames at 500ms -> sampled at 0,1000,2000 -> wait: 0..2500ms,
+        # every 1000 -> t in {0,1000,2000} = 3 frames per video
+        assert len(out) == 30
+        # the digest is of the REAL frame bytes from the container
+        payload = synth_mp4(3)
+        s0 = mp4_samples(payload)[0]
+        want = hashlib.sha256(payload[s0[0] : s0[0] + s0[1]]).hexdigest()
+        got = [r for r in out if r.media_id == 3 and r.frame_idx == 0][0]
+        assert got.frame_sha256 == want
+        assert got.t_ms == 0.0 and got.frame_bytes == s0[1]
