@@ -705,6 +705,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct-user rollup — the EXACT columns of the sketch
+    rollup (operators/sketches.distinct_rollup); the HLL++ column is
+    dropped here (approximate, not hash-comparable) and error-bounded
+    in pytest instead."""
+    from streetview_naturevisibility_spark.operators.sketches import distinct_rollup
+
+    events = load(spark, sf_dir, "events")
+    return distinct_rollup(events).select(
+        "window_start", "n_events", "n_users_exact"
+    )
+
+
 def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 token 3-grams per lang by document frequency with a total-
     order tie-break (vocabulary / contamination audit)."""
@@ -1237,6 +1250,10 @@ FROM ex GROUP BY label, pos""",
         ),
         "stratified_sample": _stratified_sample_oracle_sql(SAMPLE_RATES),
         "ngram_topk": _ngram_topk_oracle_sql(n=3, k=5),
+        "distinct_users": (
+            "SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events, "
+            "count(DISTINCT user_id) AS n_users_exact FROM events GROUP BY 1"
+        ),
         "doc_fingerprint": _fingerprint_oracle_sql(window=8),
         "simhash_pairs": _simhash_oracle_sql(max_hamming=3),
         "ann_lsh": _ann_lsh_oracle_sql(n_planes=6, dim=64, seed=7),
@@ -1371,6 +1388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_percentiles": q_char_percentiles,
         "stratified_sample": q_stratified_sample,
         "ngram_topk": q_ngram_topk,
+        "distinct_users": q_distinct_users,
         "simhash_pairs": q_simhash_pairs,
         "text_analyze": q_text_analyze,
         "doc_fingerprint": q_doc_fingerprint,

@@ -262,3 +262,47 @@ def test_ngram_topk_k_bound(spark):
     out = ngram_topk(docs, n=3, k=5)
     per = out.groupBy("lang").agg(F.count("*").alias("n")).collect()
     assert all(r.n <= 5 for r in per)
+
+
+# ------------------------------------------------------------------
+# sketch aggregates: approx columns bounded against the exact twins
+# ------------------------------------------------------------------
+def test_distinct_rollup_sketch_bounds(spark):
+    from streetview_naturevisibility_spark.operators.sketches import (
+        distinct_rollup,
+    )
+    from streetview_naturevisibility_spark.sources.tables import load
+
+    events = load(spark, "/root/testdata/sf0.01", "events")
+    rows = distinct_rollup(events, rsd=0.02).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_users_exact <= r.n_events
+        # HLL++ rsd=0.02 -> allow 5 sigma
+        assert abs(r.n_users_approx - r.n_users_exact) <= max(
+            5, 0.10 * r.n_users_exact
+        )
+
+
+def test_quantile_rollup_sketch_bounds(spark):
+    import numpy as np
+
+    from streetview_naturevisibility_spark.operators.sketches import (
+        quantile_rollup,
+    )
+
+    rng = np.random.RandomState(2)
+    rows = [("g" if i % 2 else "h", int(v)) for i, v in enumerate(rng.randint(0, 100000, 400))]
+    df = spark.createDataFrame(rows, "grp: string, v: long")
+    got = quantile_rollup(df, "grp", "v").collect()
+    for r in got:
+        for p in (50, 90, 99):
+            exact = getattr(r, f"p{p}")
+            approx = getattr(r, f"p{p}_approx")
+            # percentile_approx returns a real element within rank
+            # error 1/accuracy; with accuracy 10k and n=200 the rank
+            # error is < 1 element -> neighbor-element tolerance
+            vals = sorted(v for g, v in rows if g == r.grp)
+            k = int(round(p / 100 * (len(vals) - 1)))
+            lo, hi = vals[max(k - 1, 0)], vals[min(k + 1, len(vals) - 1)]
+            assert lo - 1 <= approx <= hi + 1, (p, exact, approx, lo, hi)
