@@ -268,7 +268,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JPEG bytes -> uint8 (h, w) or (h, w, 3) array."""
     try:
         return _decode_jpeg(payload)
-    except (IndexError, struct.error) as e:
+    except (IndexError, KeyError, struct.error) as e:
         # malformed/truncated streams surface as ValueError, like every
         # other decoder in this package
         raise ValueError(f"malformed JPEG stream: {e}") from e
@@ -329,7 +329,16 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if data is not None:
+                # multiple scans = non-interleaved baseline; decoding
+                # them as one interleaved scan would silently produce
+                # garbage — reject explicitly (same policy as SOF2)
+                raise ValueError("multi-scan (non-interleaved) JPEG unsupported")
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(comps):
+                raise ValueError("non-interleaved JPEG scan unsupported")
             scan_comps = []
             for i in range(ns):
                 cid, tables = seg[1 + 2 * i], seg[2 + 2 * i]

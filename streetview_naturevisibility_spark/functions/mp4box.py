@@ -132,20 +132,36 @@ def _mp4_samples(payload: bytes) -> list[tuple[int, int, float]]:
     moov = _find(payload, 0, len(payload), b"moov")
     if moov is None:
         raise ValueError("MP4 missing moov")
-    for tag, ts, te in _walk(payload, *moov):
-        if tag != b"trak":
-            continue
+    # prefer the video track (hdlr handler 'vide'); fall back to the
+    # first trak with sample tables when no handler says video
+    traks = [(ts, te) for tag, ts, te in _walk(payload, *moov) if tag == b"trak"]
+
+    def _handler(ts: int, te: int) -> bytes:
+        mdia = _find(payload, ts, te, b"mdia")
+        if mdia is None:
+            return b""
+        hdlr = _find(payload, *mdia, b"hdlr")
+        if hdlr is None:
+            return b""
+        return payload[hdlr[0] + 8 : hdlr[0] + 12]
+
+    traks.sort(key=lambda t: _handler(*t) != b"vide")
+    for ts, te in traks:
         mdia = _find(payload, ts, te, b"mdia")
         if mdia is None:
             continue
         mdhd = _find(payload, *mdia, b"mdhd")
+        minf_box = _find(payload, *mdia, b"minf")
+        if mdhd is None or minf_box is None:
+            raise ValueError("MP4 trak missing mdhd/minf")
         version = payload[mdhd[0]]
         if version == 1:
             timescale = struct.unpack(">I", payload[mdhd[0] + 20 : mdhd[0] + 24])[0]
         else:
             timescale = struct.unpack(">I", payload[mdhd[0] + 12 : mdhd[0] + 16])[0]
-        minf = _find(payload, *mdia, b"minf")
-        stbl = _find(payload, *minf, b"stbl")
+        stbl = _find(payload, *minf_box, b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 trak missing stbl")
 
         def full(tag4: bytes):
             r = _find(payload, *stbl, tag4)

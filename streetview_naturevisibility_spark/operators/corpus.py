@@ -53,6 +53,14 @@ def _cc_star(edges: DataFrame, max_iters: int) -> DataFrame:
             e.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
         )
 
+    def _star_fp(e: DataFrame) -> tuple:
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
+        ).first()
+        return (r.n, r.h)
+
+    stats_prev = None
     for _ in range(max_iters):
         # large-star: for v in Γ(u) with v > u, link (v, m(u))
         m = nbr_min(edges)
@@ -92,18 +100,21 @@ def _cc_star(edges: DataFrame, max_iters: int) -> DataFrame:
         # stable star forest: every edge already points at the root
         # (src>dst side equals its own min) — detected when the edge
         # set stops changing (count + order-independent xor-of-hashes
-        # fingerprint; xor cannot overflow under ANSI mode)
-        def _fp(e):
-            return e.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.bit_xor(F.xxhash64("src", "dst")).alias("h"),
-            ).first()
-
-        stats_prev = _fp(edges)
-        stats_next = _fp(edges_next)
+        # fingerprint; xor cannot overflow under ANSI mode). The
+        # previous round's fingerprint is carried forward, so each
+        # round costs ONE aggregate job, not two.
+        if stats_prev is None:
+            stats_prev = _star_fp(edges)
+        stats_next = _star_fp(edges_next)
         edges = edges_next
-        if (stats_prev.n, stats_prev.h) == (stats_next.n, stats_next.h):
+        if stats_prev == stats_next:
             break
+        stats_prev = stats_next
+    else:
+        raise ValueError(
+            f"star connected components did not converge in {max_iters} "
+            "rounds; raise max_iters"
+        )
     # star forest: (child, root) edges with child > root, plus roots
     labels = edges.where(F.col("src") > F.col("dst")).select(
         F.col("src").alias("id"), F.col("dst").alias("lbl")
@@ -192,6 +203,15 @@ def duplicate_clusters(
         labels = stepped.select("id", F.col("new_lbl").alias("lbl"))
         if n_changed == 0:
             break
+    else:
+        # wrong clusters are worse than no clusters: partially-merged
+        # components would keep multiple "canonical" copies of one
+        # duplicate group. No silent caps (cf. dedup._cap_buckets).
+        raise ValueError(
+            f"duplicate_clusters did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters or "
+            'use algorithm="star" (O(log^2 n) rounds)'
+        )
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "lbl")

@@ -306,3 +306,12 @@ def test_quantile_rollup_sketch_bounds(spark):
             k = int(round(p / 100 * (len(vals) - 1)))
             lo, hi = vals[max(k - 1, 0)], vals[min(k + 1, len(vals) - 1)]
             assert lo - 1 <= approx <= hi + 1, (p, exact, approx, lo, hi)
+
+
+def test_clusters_nonconvergence_raises(spark):
+    # wrong clusters are worse than no clusters: exhausting max_iters
+    # without a fixpoint must raise, not return partial merges
+    pairs = [(i, i + 1) for i in range(12)]
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    with pytest.raises(ValueError, match="did not converge"):
+        duplicate_clusters(pdf, max_iters=3)
