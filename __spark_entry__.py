@@ -1187,17 +1187,21 @@ FROM scored"""
             "SELECT md5(text) AS text_md5, count(*) AS n_dups, "
             "min(doc_id) AS keeper FROM documents GROUP BY md5(text)"
         ),
+        # candidate condition: jaccard >= t implies min/max size >= t —
+        # the engine's threshold-derived bucket ranges cover exactly
+        # these pairs, so the exact ratio join is the equivalent oracle
         "token_jaccard": """
 WITH toks AS (
   SELECT doc_id AS id,
-         list_distinct(string_split(text, ' ')) AS tk,
-         CAST(len(list_distinct(string_split(text, ' '))) // 10 AS INTEGER) AS nb
+         list_distinct(string_split(text, ' ')) AS tk
   FROM documents)
 SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM (
   SELECT a.id AS id_a, b.id AS id_b,
          CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
-  FROM toks a JOIN toks b ON abs(a.nb - b.nb) <= 1 AND a.id < b.id
+  FROM toks a JOIN toks b
+    ON a.id < b.id
+   AND least(len(a.tk), len(b.tk)) >= 0.6 * greatest(len(a.tk), len(b.tk))
 ) WHERE jaccard >= 0.6""",
         "text_analyze": f"""
 WITH t AS (

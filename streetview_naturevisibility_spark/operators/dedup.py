@@ -155,7 +155,10 @@ def tokenmix_shingle_hashes(text_col: str, n: int = 3):
         def _mix(i):
             acc = F.lit(0).cast("long")
             for j, c in enumerate(_MIX_C[:n]):
-                e = F.coalesce(F.element_at(thv, i + F.lit(j)), F.lit(0))
+                # try_element_at: past-the-end positions (docs shorter
+                # than n tokens) must yield NULL->0, and plain
+                # element_at THROWS under ANSI mode (Spark 4 default)
+                e = F.coalesce(F.try_element_at(thv, i + F.lit(j)), F.lit(0))
                 acc = F.pmod(acc + F.pmod(e * F.lit(c), F.lit(_MINHASH_MOD)), F.lit(_MINHASH_MOD))
             return acc
 
@@ -240,6 +243,11 @@ def minhash_lsh_pairs(
     bucket would otherwise emit ~10^12 pairs — and read the drop
     metrics via ``return_metrics=True`` so a capped run is always
     distinguishable from an exact one."""
+    if k % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide k ({k}): a truncated signature "
+            "silently changes the (k, bands) probability curve"
+        )
     rows = k // bands
     sig = minhash_signatures(df, text_col, id_col, k, n, hash_method)
     band_cols = []
@@ -464,8 +472,14 @@ def token_jaccard_pairs(
     max_bucket: int | None = None,
 ) -> DataFrame:
     """n-gram(1) token-set Jaccard near-dup: length-bucketed candidate
-    self-join (|A∩B|/|A∪B| >= t implies |A| and |B| within factor 1/t,
-    so only neighbor buckets need joining), exact verify via array ops.
+    self-join, exact verify via array ops. Candidate completeness:
+    jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t, so each doc
+    of size s emits every bucket in [floor(t*s/w), floor(s/(t*w))] —
+    any qualifying pair's real intervals [t*max, min/t] overlap (t^2 <=
+    min/max), and floor monotonicity carries the overlap to the
+    integer bucket ranges. (An earlier draft emitted only buckets
+    {s//w, s//w+1}, which silently missed pairs whose sizes differ by
+    more than ~2w while still satisfying the ratio bound.)
 
     SCALE WARNING: length bucketing is a weak LSH — within one bucket
     the join is all-pairs, and at web scale a single length bucket
@@ -475,12 +489,15 @@ def token_jaccard_pairs(
     MinHash-LSH and verifies them with the same array-intersect
     Jaccard expression. ``max_bucket`` (default None = exact) applies
     the same drop-cap as the LSH operators when you do need a bound."""
+    t = float(threshold)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("tk"),
-    ).withColumn("nb", (F.size("tk") / F.lit(bucket_width)).cast("int"))
+    ).withColumn("sz", F.size("tk"))
+    lo = F.floor(F.col("sz") * F.lit(t) / F.lit(bucket_width)).cast("int")
+    hi = F.floor(F.col("sz") / F.lit(t * bucket_width)).cast("int")
     buckets = toks.select(
-        "id", "tk", F.explode(F.array(F.col("nb"), F.col("nb") + 1)).alias("bucket")
+        "id", "tk", F.explode(F.sequence(lo, hi)).alias("bucket")
     )
     if max_bucket is not None:
         buckets, _ = _cap_buckets(buckets, ["bucket"], max_bucket)

@@ -51,27 +51,31 @@ def prepare_pages(
 
         html_s = F.col("html").cast("string")
         nan = F.lit(float("nan"))
+        # ONE full-payload regex scan extracts the whole geo span; the
+        # per-group extracts then run over that short string only
+        # (group-1 and group-2 extracts are distinct expressions, so
+        # codegen CSE would not merge two full-payload scans). The span
+        # column is non-cheap and referenced twice -> CollapseProject
+        # keeps it materialized once per row.
         # regexp_extract returns "" on no-match — exactly the kernel's
         # fill; try_cast('') -> NULL, coalesced to NaN to mirror the
         # Arrow path's miss value
+        geo_re = r"data-lat='([^']*)' data-lon='([^']*)'"
+        span = F.regexp_extract(html_s, geo_re, 0)
         lat = F.coalesce(
-            F.regexp_extract(
-                html_s, r"data-lat='([^']*)' data-lon='([^']*)'", 1
-            ).try_cast("double"),
-            nan,
+            F.regexp_extract(F.col("_geo"), geo_re, 1).try_cast("double"), nan
         )
         lon = F.coalesce(
-            F.regexp_extract(
-                html_s, r"data-lat='([^']*)' data-lon='([^']*)'", 2
-            ).try_cast("double"),
-            nan,
+            F.regexp_extract(F.col("_geo"), geo_re, 2).try_cast("double"), nan
         )
         cols = list(keep)
         if keep_text:
             cols.append(
                 F.regexp_extract(html_s, r"(?s)<body><p>(.*?)</p>", 1).alias("text")
             )
-        df = pages_raw.select(*cols, lon.alias("lon"), lat.alias("lat"))
+        df = pages_raw.withColumn("_geo", span).select(
+            *cols, "_geo", lon.alias("lon"), lat.alias("lat")
+        ).drop("_geo")
         df = with_utm(df, "lon", "lat", utm_zone)
         return with_cell(df, "lon", "lat", zoom)
 

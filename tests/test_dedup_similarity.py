@@ -460,3 +460,31 @@ class TestSimhashMd5Portable:
                 if 2 * ones > n:
                     sig |= 1 << b
             assert int(got["sig"].iloc[i]) == sig, t
+
+
+class TestJaccardBucketCompleteness:
+    def test_wide_size_gap_pair_found(self, spark):
+        """jaccard(A,B) >= t with |A|=19, |B|=35 (A subset of B): the
+        sizes span more than one length bucket, so the old neighbor-
+        bucket join missed the pair entirely (review repro)."""
+        from streetview_naturevisibility_spark.operators import dedup
+
+        a_toks = [f"w{i}" for i in range(19)]
+        b_toks = [f"w{i}" for i in range(35)]
+        docs = spark.createDataFrame(
+            [(1, " ".join(a_toks)), (2, " ".join(b_toks))],
+            "doc_id: long, text: string",
+        )
+        got = dedup.token_jaccard_pairs(docs, threshold=0.5).collect()
+        assert len(got) == 1
+        assert got[0].id_a == 1 and got[0].id_b == 2
+        assert abs(got[0].jaccard - 19 / 35) < 1e-6
+
+    def test_bands_must_divide_k(self, spark):
+        import pytest as _pt
+
+        from streetview_naturevisibility_spark.operators import dedup
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+        with _pt.raises(ValueError, match="must divide"):
+            dedup.minhash_lsh_pairs(docs, k=32, bands=6)
