@@ -288,6 +288,11 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
+        # T.81 B.1.1.2: any run of 0xFF fill bytes may pad before the
+        # marker code — skip them, else 0xFF is misread as a marker and
+        # the next byte as a length field
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

@@ -159,6 +159,10 @@ def _mp4_samples(payload: bytes) -> list[tuple[int, int, float]]:
             timescale = struct.unpack(">I", payload[mdhd[0] + 20 : mdhd[0] + 24])[0]
         else:
             timescale = struct.unpack(">I", payload[mdhd[0] + 12 : mdhd[0] + 16])[0]
+        if timescale == 0:
+            # would otherwise ZeroDivisionError at the t_ms conversion,
+            # escaping the ValueError wrapping policy of mp4_samples
+            raise ValueError("MP4 mdhd timescale is zero")
         stbl = _find(payload, *minf_box, b"stbl")
         if stbl is None:
             raise ValueError("MP4 trak missing stbl")

@@ -130,8 +130,13 @@ def shingle_hash(s, method: str = "xxhash64"):
 
 
 # tokenmix constants: < 2^30 so (32-bit hash * C) never overflows a
-# long under ANSI mode
-_MIX_C = (1000003, 999983, 754973)
+# long under ANSI mode. One odd constant PER WINDOW POSITION — n-gram
+# shingling with n > len(_MIX_C) must raise, not silently truncate the
+# window to its first len(_MIX_C) tokens.
+_MIX_C = (
+    1000003, 999983, 754973, 911383,
+    826669, 609043, 541699, 483377,
+)
 
 
 def tokenmix_shingle_hashes(text_col: str, n: int = 3):
@@ -143,6 +148,13 @@ def tokenmix_shingle_hashes(text_col: str, n: int = 3):
     Windows past the end contribute 0 for missing tokens (mirrors the
     truncated-slice semantics of shingles_col for short docs)."""
     from ..functions.hof import let_col
+
+    if n > len(_MIX_C):
+        raise ValueError(
+            f"tokenmix supports n <= {len(_MIX_C)} (one mix constant per "
+            f"window position); got n={n}. Extend _MIX_C with odd "
+            "constants < 2^30 or use hash_method='xxhash64'."
+        )
 
     toks = F.split(F.col(text_col), " ")
     th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
@@ -496,22 +508,35 @@ def token_jaccard_pairs(
     ).withColumn("sz", F.size("tk"))
     lo = F.floor(F.col("sz") * F.lit(t) / F.lit(bucket_width)).cast("int")
     hi = F.floor(F.col("sz") / F.lit(t * bucket_width)).cast("int")
+    # Candidates carry ids only; a pair sharing m buckets collapses to
+    # ONE row via distinct BEFORE the token arrays are joined back, so
+    # the array_intersect verify evaluates exactly once per pair
+    # (mirrors minhash_lsh_pairs' candidate/verify split — previously
+    # the Jaccard ran m times and deduped after).
     buckets = toks.select(
-        "id", "tk", F.explode(F.sequence(lo, hi)).alias("bucket")
+        "id", F.explode(F.sequence(lo, hi)).alias("bucket")
     )
     if max_bucket is not None:
         buckets, _ = _cap_buckets(buckets, ["bucket"], max_bucket)
     a = buckets.alias("a")
     b_ = buckets.alias("b")
-    return (
+    cand = (
         a.join(b_, F.col("a.bucket") == F.col("b.bucket"))
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            jaccard_col(F.col("a.tk"), F.col("b.tk")).alias("jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    tkmap = toks.select("id", "tk")
+    return (
+        cand.join(
+            tkmap.withColumnRenamed("id", "id_a").withColumnRenamed("tk", "tk_a"),
+            "id_a",
+        )
+        .join(
+            tkmap.withColumnRenamed("id", "id_b").withColumnRenamed("tk", "tk_b"),
+            "id_b",
+        )
+        .withColumn("jaccard", jaccard_col(F.col("tk_a"), F.col("tk_b")))
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

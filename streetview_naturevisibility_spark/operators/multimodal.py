@@ -4,13 +4,17 @@ metadata.
 Decoders: REAL for every format decodable without external libraries —
 binary PGM/PPM and uncompressed 24-bit BMP (pure NumPy), 8-bit
 non-interlaced PNG (stdlib ``zlib`` inflate + NumPy unfiltering of all
-5 scanline filters), PCM WAV (stdlib ``wave`` + NumPy, with rfft
-spectral features). Formats requiring actual codecs (JPEG/MP4) fall
-back to a clearly-marked deterministic fake, since PIL/ffmpeg are not
-in this container; swapping it in is a one-function change on the
-executors. All the Spark-side plumbing —
-schemas, Arrow batch shapes, mapInPandas iteration, partition-size
-control, the downstream feature pipeline — is identical either way.
+5 scanline filters), baseline JPEG (from-scratch ITU T.81 codec,
+functions/jpegcodec.py), PCM WAV (stdlib ``wave`` + NumPy, with rfft
+spectral features), and MJPEG-in-MP4 video (ISO BMFF sample tables via
+functions/mp4box.py locate each frame's true byte range; frames that
+are baseline JPEG decode to real pixels). Only frames of genuinely
+codec-bound video formats (H.264 etc.) fall back to a clearly-marked
+deterministic fake, since ffmpeg is not in this container; swapping it
+in is a one-function change on the executors. All the Spark-side
+plumbing — schemas, Arrow batch shapes, mapInPandas iteration,
+partition-size control, the downstream feature pipeline — is identical
+either way.
 
 Design rules for 100 TB of media:
 - binary payloads never cross a shuffle: metadata is extracted first,
@@ -191,23 +195,36 @@ def decode_png(payload: bytes) -> np.ndarray:
             rec = cur
         elif f == 2:  # Up
             rec = (cur + up) & 0xFF
-        else:  # Sub / Average / Paeth need the in-row left neighbor
-            rec = np.zeros(stride, dtype=np.int32)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0  # left
-                b = up[i]  # up
-                c = int(out[r - 1, i - bpp]) if (r > 0 and i >= bpp) else 0  # up-left
-                if f == 1:
-                    pred = a
-                elif f == 3:
+        elif f == 1:  # Sub: rec[i] = (cur[i] + rec[i-bpp]) mod 256 —
+            # per-bpp-lane cumulative sum; mod distributes over +, so
+            # one cumsum along the pixel axis then & 0xFF is exact
+            rec = (
+                np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif f in (3, 4):  # Average / Paeth: sequential left-dependence
+            # (floor-div / 3-way min break the cumsum trick) — loop per
+            # PIXEL, vectorized across the bpp channel lanes (w
+            # iterations instead of w*bpp byte iterations)
+            cur2 = cur.reshape(-1, bpp)
+            up2 = up.reshape(-1, bpp)
+            rec2 = np.zeros_like(cur2)
+            zero = np.zeros(bpp, dtype=np.int32)
+            for i in range(cur2.shape[0]):
+                a = rec2[i - 1] if i > 0 else zero  # left pixel
+                b = up2[i]
+                c = up2[i - 1] if i > 0 else zero  # up-left
+                if f == 3:
                     pred = (a + b) // 2
-                elif f == 4:
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 else:
-                    raise ValueError(f"bad PNG filter {f}")
-                rec[i] = (cur[i] + pred) & 0xFF
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                rec2[i] = (cur2[i] + pred) & 0xFF
+            rec = rec2.reshape(stride)
+        else:
+            raise ValueError(f"bad PNG filter {f}")
         out[r] = rec.astype(np.uint8)
     grid = out.reshape(h, w, channels)
     if ctype == 0:
@@ -441,16 +458,109 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.where(F.col("kind") == "video").mapInPandas(frames, FRAMES)
 
 
-def synth_mp4(i: int, n_frames: int = 6, frame_ms: int = 500) -> bytes:
-    """Deterministic REAL MP4 payload: n_frames dummy samples (hash-
-    derived bytes) muxed with true sample tables."""
+def synth_mp4(
+    i: int,
+    n_frames: int = 6,
+    frame_ms: int = 500,
+    w: int = 16,
+    h: int = 16,
+    uniform: bool = False,
+) -> bytes:
+    """Deterministic REAL MJPEG-in-MP4 payload: every sample is a real
+    baseline-JPEG frame (functions/jpegcodec.encode_jpeg) muxed with
+    true ISO BMFF sample tables — both the container walk AND the frame
+    pixel decode downstream are real.
+
+    ``uniform=True`` plants one constant luma per frame
+    (``frame_luma(i, k)``): uniform grids roundtrip the codec EXACTLY
+    (DC-only blocks, verified for all 256 values in pytest), so an
+    independent oracle can state the decoded pixel values analytically
+    — the basis of the video golden-table contract. Default (gradient)
+    frames exercise the full AC path and are checked by PSNR/roundtrip
+    pytest instead."""
+    from ..functions.jpegcodec import encode_jpeg
     from ..functions.mp4box import encode_mp4
 
-    samples = [
-        hashlib.sha256(f"frame-{i}-{k}".encode()).digest() * (2 + k % 3)
-        for k in range(n_frames)
-    ]
+    samples = []
+    for k in range(n_frames):
+        if uniform:
+            frame = np.full((h, w), frame_luma(i, k), dtype=np.uint8)
+        else:
+            yy, xx = np.mgrid[0:h, 0:w]
+            frame = ((yy * 7 + xx * 3 + i * 31 + k * 11) % 256).astype(np.uint8)
+        samples.append(encode_jpeg(frame))
     return encode_mp4(samples, sample_dur_ms=frame_ms)
+
+
+def frame_luma(i: int, k: int) -> int:
+    """The constant luma planted in frame k of uniform video i."""
+    return (i * 37 + k * 53) % 256
+
+
+VIDEO_FRAME_FEATURES = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("t_ms", DoubleType(), True),
+        StructField("codec", StringType(), False),  # mjpeg | fake
+        StructField("mean_luma", FloatType(), False),
+        StructField("std_luma", FloatType(), False),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling + PIXEL decode (1 -> N expansion inside
+    mapInPandas): MP4 sample tables give each sampled frame's byte
+    range; frames that are baseline JPEG decode through the real T.81
+    codec (codec='mjpeg'); anything else — non-container payloads or
+    codec-bound frames (H.264 etc.) — takes the documented
+    deterministic fake (codec='fake'). Payloads never shuffle: features
+    are computed in place and the blobs dropped."""
+    from ..functions.mp4box import extract_frames, is_mp4
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k.name: [] for k in VIDEO_FRAME_FEATURES.fields}
+
+            def emit(mid, idx, t, codec, grid):
+                rows["media_id"].append(mid)
+                rows["frame_idx"].append(idx)
+                rows["t_ms"].append(t)
+                rows["codec"].append(codec)
+                rows["mean_luma"].append(np.float32(grid.mean()))
+                rows["std_luma"].append(np.float32(grid.std()))
+
+            for mid, payload, dur, wd, ht in zip(
+                b["media_id"], b["payload"], b["duration_ms"], b["width"], b["height"]
+            ):
+                payload = bytes(payload)
+                if is_mp4(payload):
+                    for idx, fb, t in extract_frames(payload, every_ms):
+                        if fb.startswith(b"\xff\xd8"):
+                            grid = decode_image(fb, 0, 0)
+                            emit(mid, idx, float(t), "mjpeg", grid)
+                        else:
+                            w0 = int(wd) if wd and not pd.isna(wd) else 8
+                            h0 = int(ht) if ht and not pd.isna(ht) else 8
+                            emit(
+                                mid, idx, float(t), "fake",
+                                _fake_decode_image(fb, w0, h0),
+                            )
+                    continue
+                n = max(int((dur or 0) // every_ms), 1)
+                for idx in range(n):
+                    w0 = int(wd) if wd and not pd.isna(wd) else 8
+                    h0 = int(ht) if ht and not pd.isna(ht) else 8
+                    grid = _fake_decode_image(
+                        payload + idx.to_bytes(4, "little"), w0, h0
+                    )
+                    emit(mid, idx, None, "fake", grid)
+            yield pd.DataFrame(rows)
+
+    return media.where(F.col("kind") == "video").mapInPandas(
+        frames, VIDEO_FRAME_FEATURES
+    )
 
 
 AUDIO_FEATURES = StructType(

@@ -488,3 +488,49 @@ class TestJaccardBucketCompleteness:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
         with _pt.raises(ValueError, match="must divide"):
             dedup.minhash_lsh_pairs(docs, k=32, bands=6)
+
+
+class TestTokenmixWideN:
+    def test_n4_shingles_with_shared_3_prefix_do_not_collide(self, spark):
+        """Regression (review finding): _MIX_C had only 3 constants, so
+        n>3 windows silently hashed their first 3 tokens — distinct
+        4-grams sharing a 3-token prefix collided and inflated MinHash
+        Jaccard. With per-position constants the hash sets must differ."""
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c e")], "doc_id: long, text: string"
+        )
+        got = (
+            docs.select(
+                "doc_id",
+                dedup.tokenmix_shingle_hashes("text", n=4).alias("hs"),
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert set(got[0].hs) != set(got[1].hs)
+        # and each doc yields exactly one 4-gram window
+        assert len(got[0].hs) == 1 and len(got[1].hs) == 1
+
+    def test_n4_jaccard_exact_on_overlapping_docs(self, spark):
+        """tokenmix n=4 end-to-end: jaccard of hash sets equals true
+        4-gram shingle jaccard (no collisions on small inputs)."""
+        a = "t0 t1 t2 t3 t4 t5 t6 t7"
+        b = "t0 t1 t2 t3 t4 x5 x6 x7"
+        docs = spark.createDataFrame(
+            [(1, a), (2, b)], "doc_id: long, text: string"
+        )
+        pairs = dedup.minhash_lsh_pairs(
+            docs, k=32, bands=16, n=4, jaccard_threshold=0.0,
+            hash_method="tokenmix",
+        ).collect()
+        truth = _true_jaccard_pairs(
+            pd.DataFrame({"doc_id": [1, 2], "text": [a, b]}), 0.0, n=4
+        )
+        assert len(pairs) == 1
+        assert abs(pairs[0].jaccard - truth[(1, 2)]) < 1e-6
+
+    def test_n_above_mix_constants_raises(self, spark):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="tokenmix supports"):
+            dedup.tokenmix_shingle_hashes("text", n=9)

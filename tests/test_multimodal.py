@@ -376,3 +376,45 @@ class TestMp4Container:
         got = [r for r in out if r.media_id == 3 and r.frame_idx == 0][0]
         assert got.frame_sha256 == want
         assert got.t_ms == 0.0 and got.frame_bytes == s0[1]
+
+
+class TestCodecEdgeCases:
+    def test_jpeg_fill_bytes_before_marker(self):
+        """T.81 B.1.1.2: runs of 0xFF fill bytes may pad before any
+        marker code — the decoder must skip them, not parse 0xFF as a
+        segment marker (review finding)."""
+        import numpy as np
+
+        from streetview_naturevisibility_spark.functions.jpegcodec import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        img = ((np.mgrid[0:16, 0:24][0] * 9 + 31) % 256).astype(np.uint8)
+        payload = encode_jpeg(img)
+        base = decode_jpeg(payload)
+        # insert fill bytes right after SOI, in front of the next marker
+        padded = payload[:2] + b"\xff\xff\xff" + payload[2:]
+        assert np.array_equal(decode_jpeg(padded), base)
+
+    def test_mp4_zero_timescale_is_valueerror(self):
+        """A malformed mdhd with timescale=0 must surface as ValueError
+        (the module's malformed-stream policy), not ZeroDivisionError."""
+        import struct
+
+        import pytest as _pt
+
+        from streetview_naturevisibility_spark.functions.mp4box import (
+            encode_mp4,
+            mp4_samples,
+        )
+
+        payload = bytearray(encode_mp4([b"x" * 10, b"y" * 10]))
+        p = bytes(payload).find(b"mdhd")
+        assert p > 0
+        # version-0 mdhd: tag(4) + ver/flags(4) + ctime(4) + mtime(4)
+        # -> timescale at tag+16
+        assert payload[p + 16 : p + 20] == struct.pack(">I", 1000)
+        payload[p + 16 : p + 20] = struct.pack(">I", 0)
+        with _pt.raises(ValueError, match="timescale"):
+            mp4_samples(bytes(payload))
