@@ -654,9 +654,14 @@ def synth_media(spark, n: int = 100) -> DataFrame:
         elif kind == "audio":
             w = h = None
             payload, mime = synth_wav(i), "audio/wav"
-        else:  # no container parser without ffmpeg -> opaque bytes
+        elif i % 12 == 11:  # opaque non-container video: exercises the
+            # documented fake fallback (no ftyp -> duration-based frames)
             w = h = None
             payload = hashlib.sha256(f"media-{i}".encode()).digest() * (1 + i % 4)
+            mime = "video/x-opaque"
+        else:  # REAL MJPEG-in-MP4, duration matching the metadata column
+            w = h = None
+            payload = synth_mp4(i, n_frames=3 * (i % 7 + 1), frame_ms=500)
             mime = "video/mp4"
         rows.append(
             (

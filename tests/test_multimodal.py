@@ -37,9 +37,15 @@ class TestMultimodal:
         vids = frames["media_id"].unique()
         assert len(vids) == 30
         per = frames.groupby("media_id").size()
-        durs = {i: (i % 7 + 1) * 1500 for i in range(90) if i % 3 == 2}
+        import math
+
         for mid, n in per.items():
-            assert n == max(durs[mid] // 1000, 1)
+            dur = (mid % 7 + 1) * 1500
+            if mid % 12 == 11:  # opaque fallback: duration-based count
+                assert n == max(dur // 1000, 1)
+            else:  # real MP4: sample-table times 0..dur-500 step 500,
+                # sampled at multiples of 1000 -> ceil(dur/1000)
+                assert n == math.ceil(dur / 1000)
 
     def test_stub_decoder_raises_on_empty_payload(self):
         with pytest.raises(NotImplementedError):
@@ -418,3 +424,66 @@ class TestCodecEdgeCases:
         payload[p + 16 : p + 20] = struct.pack(">I", 0)
         with _pt.raises(ValueError, match="timescale"):
             mp4_samples(bytes(payload))
+
+
+class TestMjpegVideoDecode:
+    def test_uniform_frames_decode_to_planted_constant(self, spark):
+        """MJPEG end-to-end: mux uniform-luma JPEG frames, extract via
+        the real sample tables, decode via the real T.81 codec — the
+        decoded grid must be EXACTLY the planted constant (uniform
+        grids are DC-only and roundtrip exactly for all 256 values)."""
+        import numpy as np
+
+        rows = [
+            (i, "video", bytearray(mm.synth_mp4(i, uniform=True)), "video/mp4",
+             None, None, 3000)
+            for i in range(8)
+        ]
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+        out = mm.video_frame_features(media, every_ms=1000).toPandas()
+        assert (out["codec"] == "mjpeg").all()
+        assert len(out) == 8 * 3  # 6 frames @500ms sampled at 0/1000/2000
+        for r in out.itertuples():
+            k = int(r.t_ms // 500)
+            want = mm.frame_luma(r.media_id, k)
+            assert abs(r.mean_luma - want) < 1e-6
+            assert r.std_luma == 0.0
+
+    def test_gradient_frames_match_direct_jpeg_decode(self, spark):
+        import numpy as np
+
+        from streetview_naturevisibility_spark.functions.jpegcodec import decode_jpeg
+        from streetview_naturevisibility_spark.functions.mp4box import extract_frames
+
+        payload = mm.synth_mp4(4)
+        media = spark.createDataFrame(
+            [(4, "video", bytearray(payload), "video/mp4", None, None, 3000)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = (
+            mm.video_frame_features(media, every_ms=1000)
+            .orderBy("frame_idx")
+            .toPandas()
+        )
+        want = [
+            (float(decode_jpeg(fb).mean()), float(decode_jpeg(fb).std()))
+            for _, fb, _ in extract_frames(payload, 1000)
+        ]
+        assert len(out) == len(want)
+        for r, (wm, ws) in zip(out.itertuples(), want):
+            assert abs(r.mean_luma - wm) < 1e-4 and abs(r.std_luma - ws) < 1e-4
+
+    def test_fake_path_only_for_non_jpeg(self, spark, media):
+        out = mm.video_frame_features(media, every_ms=1000).toPandas()
+        by_codec = out.groupby(out["media_id"] % 12 == 11)["codec"].unique()
+        assert list(by_codec[True]) == ["fake"]
+        assert list(by_codec[False]) == ["mjpeg"]
+
+    def test_determinism_across_partitioning(self, spark, media):
+        a = mm.video_frame_features(media).orderBy("media_id", "frame_idx").toPandas()
+        b = (
+            mm.video_frame_features(media.repartition(7))
+            .orderBy("media_id", "frame_idx")
+            .toPandas()
+        )
+        assert a.equals(b)

@@ -171,6 +171,40 @@ def golden_media_features(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["media_id", "n_bytes", "sha256", "bin0_frac"])
 
 
+def golden_video_frames(sf_dir: str) -> pd.DataFrame:
+    """ANALYTIC video-pipeline oracle: the contract query muxes
+    uniform-luma JPEG frames (luma(i,k) = (i*37 + k*53) % 256, 6 frames
+    at 500 ms, sampled every 1000 ms -> source frames k=0,2,4), and
+    uniform grids roundtrip baseline JPEG exactly (DC-only blocks;
+    pytest proves all 256 values). So the expected decoded mean IS the
+    planted constant and std is 0 — stated here with plain arithmetic,
+    no JPEG/MP4 code involved: the engine must mux, walk its own
+    container, slice the right sample, and entropy-decode it to match."""
+    ids = duckdb.sql(
+        f"SELECT doc_id FROM '{os.path.join(sf_dir, 'documents.parquet')}' "
+        "WHERE doc_id % 5 = 0 ORDER BY doc_id"
+    ).df()["doc_id"]
+    rows = []
+    for did in ids:
+        did = int(did)
+        for j in range(3):  # sampled frame j <- source frame k = 2j
+            k = 2 * j
+            rows.append(
+                (
+                    did,
+                    j,
+                    1000.0 * j,
+                    "mjpeg",
+                    float((did * 37 + k * 53) % 256),
+                    0.0,
+                )
+            )
+    return pd.DataFrame(
+        rows,
+        columns=["media_id", "frame_idx", "t_ms", "codec", "mean_luma", "std_luma"],
+    )
+
+
 def golden_isochrone(sf_dir: str) -> pd.DataFrame:
     """Brute-force isochrone oracle (tests/oracle.oracle_isochrone_cells
     — plain-dict Dijkstra + scalar segment distances + BFS exterior
@@ -206,6 +240,7 @@ GENERATORS = {
     "gvi_score_docs": golden_gvi_score_docs,
     "media_features": golden_media_features,
     "isochrone": golden_isochrone,
+    "video_frames": golden_video_frames,
 }
 
 
