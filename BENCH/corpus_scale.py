@@ -25,35 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+from bench import synthetic_docs  # canonical generator lives in bench.py
 from streetview_naturevisibility_spark.session import get_spark
-
-VOCAB = 30_000
-WORDS_PER_DOC = 40
-
-
-def synthetic_docs(spark, n: int, partitions: int):
-    """Deterministic distributed corpus: ~40 hash-derived tokens per
-    doc; doc_id % 100 == 1 repeats the predecessor's token stream plus
-    one extra token (a planted near-duplicate at Jaccard ~0.95)."""
-    base = F.col("id") - (F.col("id") % 100 == 1).cast("long")
-    words = F.transform(
-        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
-        lambda i: F.concat(
-            F.lit("w"),
-            F.pmod(F.xxhash64(base * F.lit(41) + i), F.lit(VOCAB)).cast("string"),
-        ),
-    )
-    text = F.when(
-        F.col("id") % 100 == 1,
-        F.concat(F.array_join(words, " "), F.lit(" extra")),
-    ).otherwise(F.array_join(words, " "))
-    lang = F.element_at(
-        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
-        (F.col("id") % 5 + 1).cast("int"),
-    )
-    return spark.range(0, n, 1, partitions).select(
-        F.col("id").alias("doc_id"), text.alias("text"), lang.alias("lang")
-    )
 
 
 def main() -> None:
@@ -113,6 +86,39 @@ def main() -> None:
     ).count()
     out["stratified_sample_s"] = round(time.time() - t0, 2)
 
+    # adversarial chain-shaped CC: star vs propagation on the SAME
+    # pair set. LSH dup components are near-cliques (diameter ~1-2,
+    # propagation's home turf); chains are the worst case — diameter =
+    # chain length, so propagation pays one shuffle round per hop while
+    # large/small-star converges in O(log^2 n) rounds. Chain length 40
+    # keeps propagation inside a sane round budget for the head-to-head;
+    # the second star row uses 10k-long chains, a shape where
+    # propagation would need 10,000 shuffle rounds and is not run.
+    from streetview_naturevisibility_spark.operators.corpus import (
+        duplicate_clusters as _cc,
+    )
+
+    def chain_pairs(n_nodes: int, length: int):
+        e = spark.range(0, n_nodes, 1, cpus).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        return e.where((F.col("id_b") % length) != 0)
+
+    cc_counts: dict[str, int] = {}
+    chain40 = chain_pairs(n, 40)
+    t0 = time.time()
+    cc_counts["chain40_star_docs"] = _cc(chain40, algorithm="star").count()
+    out["cc_chain40_star_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    cc_counts["chain40_prop_docs"] = _cc(
+        chain40, algorithm="propagation", max_iters=64
+    ).count()
+    out["cc_chain40_propagation_s"] = round(time.time() - t0, 2)
+    chain10k = chain_pairs(n, 10_000)
+    t0 = time.time()
+    cc_counts["chain10k_star_docs"] = _cc(chain10k, algorithm="star").count()
+    out["cc_chain10k_star_s"] = round(time.time() - t0, 2)
+
     planted = n // 100
     print(
         json.dumps(
@@ -129,6 +135,7 @@ def main() -> None:
                 "n_clustered_docs": n_clustered,
                 "n_sampled": n_sampled,
                 "planted_near_dups": planted,
+                "cc_chain_counts": cc_counts,
             }
         )
     )

@@ -128,10 +128,13 @@ def bench_pipeline_throughput(
 ) -> tuple[float, float]:
     """The north-star workload end-to-end: html pages -> extract_text +
     parse_coords -> UTM -> tile/cell -> kNN snap -> per-road reduce.
-    engine="arrow" (fused Arrow UDF, the r1-r3 recorded protocol) or
-    "jvm" (pure-codegen regex+Krüger, zero Python workers) — measured
-    within noise of each other on one node; the jvm leg exists because
-    a no-Python pipeline scales on N threads, not ~2N."""
+    engine="arrow" (fused Arrow UDF, the r1-r3 recorded protocol and
+    the prepare_pages default) or "jvm" (pure-codegen regex+Krüger,
+    zero Python workers). The interleaved A/B (BENCH/
+    pages_interleaved.py) measured jvm 1.46x slower at local[32]; the
+    jvm leg stays recorded because a no-Python pipeline scales on N
+    threads, not ~2N, and wins when Python workers are the
+    bottleneck."""
     from streetview_naturevisibility_spark.geo.cells import zoom_for_radius
     from streetview_naturevisibility_spark.geo.mercator import tile_x_col, tile_y_col
     from streetview_naturevisibility_spark.operators.tiling import prepare_pages
@@ -156,6 +159,88 @@ def bench_pipeline_throughput(
     ).collect()
     dt = time.time() - t0
     return dt, n_pages / dt
+
+
+VOCAB = 30_000
+WORDS_PER_DOC = 40
+
+
+def synthetic_docs(spark: SparkSession, n: int, partitions: int):
+    """Deterministic distributed corpus (shared with BENCH/
+    corpus_scale.py): ~40 hash-derived tokens per doc; doc_id % 100 ==
+    1 repeats the predecessor's token stream plus one extra token (a
+    planted near-duplicate at Jaccard ~0.95)."""
+    base = F.col("id") - (F.col("id") % 100 == 1).cast("long")
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(base * F.lit(41) + i), F.lit(VOCAB)).cast("string"),
+        ),
+    )
+    text = F.when(
+        F.col("id") % 100 == 1,
+        F.concat(F.array_join(words, " "), F.lit(" extra")),
+    ).otherwise(F.array_join(words, " "))
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr"), F.lit("es"), F.lit("zh")),
+        (F.col("id") % 5 + 1).cast("int"),
+    )
+    return spark.range(0, n, 1, partitions).select(
+        F.col("id").alias("doc_id"), text.alias("text"), lang.alias("lang")
+    )
+
+
+def bench_curate_funnel(
+    spark: SparkSession, n_docs: int, cpus: int
+) -> tuple[float, dict[str, int]]:
+    """The LLM-training-data curate funnel end-to-end (the same
+    composition as `cli curate`): quality score -> exact dedup ->
+    MinHash-LSH near-dup pairs -> connected-component clustering ->
+    keep-canonical -> stratified sample. Input is staged as parquet
+    first (a real table scan, like the 100 TB path), the funnel wall
+    includes every stage count (the job boundaries a real funnel run
+    pays). No separate warm-up pass: JIT and Python workers are already
+    warm from the preceding legs, and a second 1M-doc pass would double
+    the suite wall for no attribution value."""
+    import tempfile
+
+    from streetview_naturevisibility_spark.operators.corpus import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+        stratified_sample,
+    )
+    from streetview_naturevisibility_spark.operators.dedup import minhash_lsh_pairs
+    from streetview_naturevisibility_spark.operators.textops import analyze_documents
+
+    stage = os.path.join(tempfile.mkdtemp(prefix="bench_funnel_"), "docs")
+    synthetic_docs(spark, n_docs, 4 * cpus).write.mode("overwrite").parquet(stage)
+    docs = spark.read.parquet(stage)
+
+    t0 = time.time()
+    counts: dict[str, int] = {"in": docs.count()}
+    scored = analyze_documents(docs, keep_input_cols=True)
+    kept_q = scored.where(F.col("quality_score") >= F.lit(0.3))
+    counts["quality"] = kept_q.count()
+    digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
+    keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
+    exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
+    counts["exact"] = exact.count()
+    pairs, metrics = minhash_lsh_pairs(
+        exact, jaccard_threshold=0.5, max_bucket=100_000, return_metrics=True
+    )
+    clusters = duplicate_clusters(pairs)
+    near = dedup_keep_canonical(exact, clusters)
+    counts["near"] = near.count()
+    m = metrics.collect()[0]
+    counts["lsh_dropped_buckets"] = int(m.dropped_buckets)
+    counts["lsh_dropped_members"] = int(m.dropped_members)
+    sampled = stratified_sample(
+        near, "lang", {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}, "doc_id"
+    )
+    counts["sampled"] = sampled.count()
+    dt = time.time() - t0
+    return dt, counts
 
 
 def main() -> None:
@@ -185,7 +270,7 @@ def main() -> None:
         "tile_assign",
         "knn_snap",
         "gvi_per_road",
-        "missing_metrics",
+        "pipeline_metrics",
         "highway_rollup",
         "pip_hexagon",
         "zonal_mean",
@@ -232,6 +317,10 @@ def main() -> None:
     jvm_sec, jvm_pps = bench_pipeline_throughput(spark, sf_dir, n_pages, engine="jvm")
     times["full_pipeline_jvm_pages"] = round(jvm_sec, 3)
 
+    n_funnel = int(os.environ.get("SPARK_GRAFT_FUNNEL_DOCS", "1000000"))
+    funnel_sec, funnel_counts = bench_curate_funnel(spark, n_funnel, int(cpus))
+    times["curate_funnel"] = round(funnel_sec, 3)
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
@@ -246,6 +335,8 @@ def main() -> None:
                 "pages_per_sec_jvm": round(jvm_pps),
                 "snap_kernel_pages_per_sec": round(kernel_pps),
                 "bench_pages": n_pages,
+                "funnel_docs_per_sec": round(n_funnel / funnel_sec),
+                "funnel_counts": funnel_counts,
                 "cpus": int(cpus),
             }
         )

@@ -187,7 +187,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         max_bucket=args.max_bucket,
         return_metrics=True,
     )
-    clusters = duplicate_clusters(pairs)
+    clusters = duplicate_clusters(pairs, algorithm=args.cc_algorithm)
     near = dedup_keep_canonical(exact, clusters)
     n_near = near.count()
     m = metrics.collect()[0]
@@ -263,6 +263,15 @@ def main() -> None:
     pc.add_argument("--min-quality", type=float, default=0.5)
     pc.add_argument("--jaccard", type=float, default=0.5)
     pc.add_argument("--max-bucket", type=int, default=10_000)
+    pc.add_argument(
+        "--cc-algorithm",
+        choices=["propagation", "star"],
+        default="propagation",
+        help="connected-components kernel for near-dup clustering: "
+        "min-label propagation (O(diameter) rounds, right for the "
+        "near-clique components LSH emits) or large/small-star "
+        "(O(log^2 n) rounds, for adversarial chain-shaped dup graphs)",
+    )
     pc.add_argument(
         "--sample",
         default=None,

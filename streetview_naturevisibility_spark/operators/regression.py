@@ -155,16 +155,22 @@ def gam_cv_metrics(
     q, r = divmod(n, folds)
     bounds = np.cumsum([0] + [q + 1] * r + [q] * (folds - r))
     rmses = []
+    r2s = []
     for f in range(folds):
         lo, hi = bounds[f], bounds[f + 1]
         test = np.zeros(n, dtype=bool)
         test[lo:hi] = True
         gam = LinearGAM1D(n_splines=n_splines).fit(x[~test], y[~test])
         pred = gam.predict(x[test])
-        rmses.append(float(np.sqrt(np.mean((y[test] - pred) ** 2))))
+        resid = y[test] - pred
+        rmses.append(float(np.sqrt(np.mean(resid**2))))
+        sst = float(((y[test] - y[test].mean()) ** 2).sum())
+        r2s.append(float(1.0 - (resid**2).sum() / sst) if sst > 0 else None)
     avg_rmse = float(np.mean(rmses))
     aic = n * np.log(avg_rmse**2) + 2 * 2
-    return {"n_known": n, "avg_rmse": avg_rmse, "aic": float(aic)}
+    valid_r2 = [v for v in r2s if v is not None]
+    avg_r2 = float(np.mean(valid_r2)) if valid_r2 else None
+    return {"n_known": n, "avg_rmse": avg_rmse, "avg_r2": avg_r2, "aic": float(aic)}
 
 
 def _bspline_basis(x: np.ndarray, knots: np.ndarray, degree: int = 3) -> np.ndarray:

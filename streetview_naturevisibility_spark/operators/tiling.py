@@ -29,20 +29,26 @@ def prepare_pages(
     zoom: int = 14,
     utm_zone: int = 31,
     keep_text: bool = True,
-    engine: str = "jvm",
+    engine: str = "arrow",
 ) -> DataFrame:
     """pages(url, warc_ts, html, lang, is_panoramic) ->
     (url, warc_ts, lang, is_panoramic[, text], lon, lat, x, y,
     tile_x, tile_y, cell_id).
 
-    ``engine="jvm"`` (default): the extraction regexes and the Krüger
-    UTM series run as pure Column expressions — the WHOLE pages
-    pipeline is whole-stage codegen, zero Python workers (text is
-    byte-identical to the Arrow kernel, pytest-gated; x/y agree to
-    ~1e-9 m, see geo/utm.utm_cols). ``engine="arrow"``: the fused
-    Arrow pandas-UDF parser (one Python round trip) — the twin kept
-    for A/B evidence and as the template for payloads that genuinely
-    need Python."""
+    ``engine="arrow"`` (default): the fused Arrow pandas-UDF parser —
+    one Python round trip for the whole extract+parse stage. The
+    interleaved same-window A/B (BENCH/pages_interleaved.py, best-of-3
+    alternating order, local[32] at 8M pages) measured arrow 7.34 s vs
+    jvm 10.69 s (jvm 1.46x slower) — the r3 "parity" claim did not
+    survive the controlled protocol, so arrow is the default.
+    ``engine="jvm"``: the extraction regexes and the Krüger UTM series
+    as pure Column expressions — whole-stage codegen, zero Python
+    workers (text byte-identical to the Arrow kernel, pytest-gated;
+    x/y agree to ~1e-9 m, see geo/utm.utm_cols). Slower per-core on
+    Arrow-friendly payloads, but it threads at true N (no ~2N Python
+    oversubscription), which is why it holds the better 8->32-core
+    scaling number (BENCH/BASELINE.md) and remains the choice when
+    executor Python workers are the bottleneck."""
     keep = ["doc_id", "url", "warc_ts", "lang", "is_panoramic"]
     keep = [c for c in keep if c in pages_raw.columns]
 
