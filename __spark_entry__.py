@@ -39,11 +39,18 @@ def _geo_sql(select: str) -> str:
 
 
 def _minhash_oracle_sql(
-    k: int = 32, bands: int = 8, n: int = 3, threshold: float = 0.5
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.5,
+    source: str = "documents",
 ) -> str:
     """DuckDB twin of minhash_lsh_pairs(hash_method='md5'): identical
     shingling, permutation constants (dedup._perm_params), band string
-    keys, candidate self-join and exact Jaccard verify."""
+    keys, candidate self-join and exact Jaccard verify. ``source`` is
+    the table/CTE holding (doc_id, text) — "documents" for the
+    standalone contract row, the quality+exact-dedup survivor CTE for
+    the curate-funnel row."""
     from streetview_naturevisibility_spark.operators.dedup import (
         _MINHASH_MOD,
         _perm_params,
@@ -57,7 +64,7 @@ def _minhash_oracle_sql(
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents),
+  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM {source}),
 shg AS (
   SELECT id, list_distinct(list_transform(
            range(1, greatest(len(tk) - {n - 1}, 1) + 1),
@@ -221,7 +228,7 @@ def _dup_clusters_oracle_sql() -> str:
     reaches."""
     pairs = _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5)
     return f"""
-WITH RECURSIVE pairs AS ({pairs}),
+WITH RECURSIVE pairs AS MATERIALIZED ({pairs}),
 edges AS (SELECT id_a AS a, id_b AS b FROM pairs
           UNION SELECT id_b, id_a FROM pairs),
 nodes AS (SELECT DISTINCT a AS id FROM edges),
@@ -233,6 +240,71 @@ cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
 SELECT c.id AS doc_id, c.cluster_id, s.cluster_size
 FROM cc c JOIN (SELECT cluster_id, count(*) AS cluster_size
                 FROM cc GROUP BY cluster_id) s USING (cluster_id)"""
+
+
+def _curate_funnel_oracle_sql(min_quality: float = 0.3) -> str:
+    """DuckDB twin of the WHOLE curate funnel (cli.py `curate` /
+    operators composed by q_curate_funnel): quality filter (the
+    text_analyze quality-score expression, rounded like the engine
+    column) -> exact dedup (min doc_id per md5 digest) -> md5
+    MinHash-LSH pairs over the SURVIVORS (_minhash_oracle_sql with
+    source=ex) -> recursive-CTE connected components -> drop non-
+    canonical members -> portable stratified sample — reduced to ONE
+    row of stage counts. Every stage twin is the same SQL already
+    proven hash-exact standalone (text_analyze, dedup_exact,
+    minhash_lsh, dup_clusters, stratified_sample); this row proves the
+    COMPOSITION end-to-end."""
+    pairs = _minhash_oracle_sql(k=32, bands=8, n=3, threshold=0.5, source="ex")
+    case = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, lang,
+         list_distinct(string_split(text, ' ')) AS dtk,
+         len(string_split(text, ' ')) AS ntok,
+         length(text) AS nch
+  FROM documents),
+s AS (
+  SELECT *,
+         (nch - (ntok - 1)) / CAST(ntok AS DOUBLE) AS mean_tok,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / nch AS alpha,
+         CAST(len(dtk) AS DOUBLE) / ntok AS distinct_ratio
+  FROM t),
+q AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM s
+  WHERE round(CASE WHEN ntok >= 50 AND ntok <= 100000 THEN 0.4 ELSE 0.0 END
+              + CASE WHEN mean_tok >= 3 AND mean_tok <= 12 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN alpha >= 0.6 THEN 0.2 ELSE 0.0 END
+              + CASE WHEN distinct_ratio >= 0.1 THEN 0.1 ELSE 0.0 END, 6)
+        >= {min_quality!r}),
+ex AS MATERIALIZED (
+  SELECT doc_id, text, lang FROM q
+  WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY md5(text))),
+pairs AS MATERIALIZED ({pairs}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+walk(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.id WHERE w.lbl < e.b),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+near AS MATERIALIZED (
+  SELECT * FROM ex
+  WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)),
+samp AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, CASE lang {case} ELSE 0.0 END AS rate,
+           CAST('0x' || substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) % 1000000 AS u
+    FROM near)
+  WHERE u < CAST(round(rate * 1000000, 0) AS BIGINT))
+SELECT (SELECT count(*) FROM documents) AS n_in,
+       (SELECT count(*) FROM q) AS n_quality,
+       (SELECT count(*) FROM ex) AS n_exact,
+       (SELECT count(*) FROM near) AS n_near,
+       (SELECT count(*) FROM samp) AS n_sampled"""
 
 
 def _ngram_topk_oracle_sql(n: int = 3, k: int = 5) -> str:
@@ -738,6 +810,49 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return stratified_sample(docs, "lang", SAMPLE_RATES, "doc_id").select(
         "doc_id", "lang", "weight"
+    )
+
+
+def q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-corpus curate funnel (the composition `cli
+    curate` runs) as one value-checked row of stage counts: quality
+    filter -> exact dedup (min doc_id per md5 digest) -> md5 MinHash-
+    LSH near-dup pairs over the survivors -> connected-component
+    clustering -> keep-canonical -> portable stratified sample. Each
+    stage's twin is already hash-exact standalone; this row proves the
+    COMPOSITION (filters feeding LSH feeding CC feeding sampling)
+    end-to-end against a single DuckDB restatement
+    (_curate_funnel_oracle_sql)."""
+    from streetview_naturevisibility_spark.operators.corpus import (
+        dedup_keep_canonical,
+        duplicate_clusters,
+        stratified_sample,
+    )
+    from streetview_naturevisibility_spark.operators.dedup import minhash_lsh_pairs
+    from streetview_naturevisibility_spark.operators.textops import analyze_documents
+
+    docs = load(spark, sf_dir, "documents")
+    scored = analyze_documents(docs, keep_input_cols=True)
+    kept_q = scored.where(F.col("quality_score") >= F.lit(0.3))
+    digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
+    keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
+    exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
+    pairs = minhash_lsh_pairs(
+        exact, k=32, bands=8, jaccard_threshold=0.5, hash_method="md5"
+    )
+    clusters = duplicate_clusters(pairs)
+    near = dedup_keep_canonical(exact, clusters)
+    sampled = stratified_sample(near, "lang", SAMPLE_RATES, "doc_id")
+
+    def cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        cnt(docs, "n_in")
+        .crossJoin(cnt(kept_q, "n_quality"))
+        .crossJoin(cnt(exact, "n_exact"))
+        .crossJoin(cnt(near, "n_near"))
+        .crossJoin(cnt(sampled, "n_sampled"))
     )
 
 
@@ -1321,6 +1436,7 @@ FROM ex GROUP BY label, pos""",
             "FROM documents GROUP BY lang"
         ),
         "stratified_sample": _stratified_sample_oracle_sql(SAMPLE_RATES),
+        "curate_funnel": _curate_funnel_oracle_sql(),
         "ngram_topk": _ngram_topk_oracle_sql(n=3, k=5),
         "distinct_users": (
             "SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events, "
@@ -1457,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": q_label_centroids,
         "char_percentiles": q_char_percentiles,
         "stratified_sample": q_stratified_sample,
+        "curate_funnel": q_curate_funnel,
         "ngram_topk": q_ngram_topk,
         "distinct_users": q_distinct_users,
         "simhash_pairs": q_simhash_pairs,

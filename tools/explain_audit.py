@@ -189,6 +189,68 @@ def main() -> None:
         )
     )
 
+    # 8. video frame pipeline: payloads never shuffle — one MapInPandas
+    # directly over the (filtered) source, zero exchanges in the plan
+    from streetview_naturevisibility_spark.operators.multimodal import (
+        synth_media,
+        video_frame_features,
+    )
+
+    media = synth_media(spark, 30)
+    vf = video_frame_features(media, every_ms=1000)
+    p8 = plan_of(vf)
+    ok8, n8 = check(
+        "video frames",
+        p8,
+        must=["MapInPandas"],
+        must_not=["Exchange", "CartesianProduct", "SortMergeJoin"],
+    )
+    sections.append(
+        (
+            "Video frame decode: payloads stay in place (MapInPandas, no Exchange)",
+            vf,
+            p8,
+            ok8,
+            n8,
+        )
+    )
+
+    # 9. z-ordered scan: the morton interval predicate reaches the
+    # parquet scan as a pushed filter (row-group min/max skipping)
+    import tempfile
+
+    from streetview_naturevisibility_spark.sources.layout import (
+        bbox_morton_interval,
+        write_spatial_sorted,
+    )
+
+    zpath = os.path.join(tempfile.mkdtemp(prefix="explain_zorder_"), "pages")
+    write_spatial_sorted(
+        D.spark_pages(spark, sf_dir).select("doc_id", "tile_x", "tile_y"),
+        zpath,
+        num_files=8,
+    )
+    zdf = spark.read.parquet(zpath)
+    corner = zdf.agg(F.min("tile_x").alias("tx"), F.min("tile_y").alias("ty")).collect()[0]
+    lo, hi = bbox_morton_interval(corner.tx, corner.tx + 1, corner.ty, corner.ty + 1)
+    zq = zdf.where(F.col("_morton").between(lo, hi)).select("doc_id")
+    p9 = plan_of(zq)
+    ok9, n9 = check(
+        "zorder scan pushdown",
+        p9,
+        must=["GreaterThanOrEqual(_morton", "LessThanOrEqual(_morton"],
+        must_not=["ArrowEvalPython", "BatchEvalPython"],
+    )
+    sections.append(
+        (
+            "Z-ordered scan: morton interval pushed to parquet (row-group skipping)",
+            zq,
+            p9,
+            ok9,
+            n9,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
