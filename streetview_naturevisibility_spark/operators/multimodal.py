@@ -147,6 +147,45 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _unfilter_row(
+    f: int, cur: np.ndarray, up: np.ndarray, bpp: int, stride: int
+) -> np.ndarray:
+    """Undo one PNG scanline filter (shared by decode_png and
+    decode_png_channels). Sub is a per-bpp-lane cumulative sum (mod
+    distributes over +); Average/Paeth loop per PIXEL, vectorized
+    across the bpp channel lanes (w iterations, not w*bpp)."""
+    if f == 0:  # None
+        rec = cur
+    elif f == 2:  # Up
+        rec = (cur + up) & 0xFF
+    elif f == 1:  # Sub
+        rec = (
+            (np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF)
+            .reshape(stride)
+            .astype(np.int32)
+        )
+    elif f in (3, 4):  # Average / Paeth: sequential left-dependence
+        cur2 = cur.reshape(-1, bpp)
+        up2 = up.reshape(-1, bpp)
+        rec2 = np.zeros_like(cur2)
+        zero = np.zeros(bpp, dtype=np.int32)
+        for i in range(cur2.shape[0]):
+            a = rec2[i - 1] if i > 0 else zero  # left pixel
+            b = up2[i]
+            c = up2[i - 1] if i > 0 else zero  # up-left
+            if f == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            rec2[i] = (cur2[i] + pred) & 0xFF
+        rec = rec2.reshape(stride)
+    else:
+        raise ValueError(f"bad PNG filter {f}")
+    return rec.astype(np.uint8)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL decoder for non-interlaced 8-bit PNG (grayscale / RGB /
     RGBA / gray+alpha), stdlib ``zlib`` + NumPy: concatenate IDAT,
@@ -184,48 +223,15 @@ def decode_png(payload: bytes) -> np.ndarray:
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline payload truncated")
     lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    filters = lines[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
     for r in range(h):
-        f = int(filters[r])
-        cur = lines[r, 1:].astype(np.int32)
-        up = out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, dtype=np.int32)
-        if f == 0:  # None
-            rec = cur
-        elif f == 2:  # Up
-            rec = (cur + up) & 0xFF
-        elif f == 1:  # Sub: rec[i] = (cur[i] + rec[i-bpp]) mod 256 —
-            # per-bpp-lane cumulative sum; mod distributes over +, so
-            # one cumsum along the pixel axis then & 0xFF is exact
-            rec = (
-                np.cumsum(cur.reshape(-1, bpp), axis=0, dtype=np.int64) & 0xFF
-            ).reshape(stride).astype(np.int32)
-        elif f in (3, 4):  # Average / Paeth: sequential left-dependence
-            # (floor-div / 3-way min break the cumsum trick) — loop per
-            # PIXEL, vectorized across the bpp channel lanes (w
-            # iterations instead of w*bpp byte iterations)
-            cur2 = cur.reshape(-1, bpp)
-            up2 = up.reshape(-1, bpp)
-            rec2 = np.zeros_like(cur2)
-            zero = np.zeros(bpp, dtype=np.int32)
-            for i in range(cur2.shape[0]):
-                a = rec2[i - 1] if i > 0 else zero  # left pixel
-                b = up2[i]
-                c = up2[i - 1] if i > 0 else zero  # up-left
-                if f == 3:
-                    pred = (a + b) // 2
-                else:
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                rec2[i] = (cur2[i] + pred) & 0xFF
-            rec = rec2.reshape(stride)
-        else:
-            raise ValueError(f"bad PNG filter {f}")
-        out[r] = rec.astype(np.uint8)
+        out[r] = _unfilter_row(
+            int(lines[r, 0]),
+            lines[r, 1:].astype(np.int32),
+            out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32),
+            channels,
+            stride,
+        )
     grid = out.reshape(h, w, channels)
     if ctype == 0:
         return grid[:, :, 0]
@@ -233,6 +239,52 @@ def decode_png(payload: bytes) -> np.ndarray:
         return grid[:, :, 0]
     # RGB(A): mean over the color channels, alpha ignored
     return grid[:, :, :3].mean(axis=2).astype(np.uint8)
+
+
+def decode_png_channels(payload: bytes) -> np.ndarray:
+    """Full-channel PNG decode -> (h, w, channels) uint8. decode_png
+    collapses to grayscale for the feature pipeline; the debug-image
+    sink roundtrip needs the actual RGB planes, so this variant keeps
+    them (same chunk walk and _unfilter_row machinery)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctag == b"IHDR":
+            w, h, depth, ctype, _c, _f, interlace = struct.unpack(">IIBBBBB", data)
+        elif ctag == b"IDAT":
+            idat += data
+        elif ctag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError("only 8-bit non-interlaced PNG supported")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        out[r] = _unfilter_row(
+            int(lines[r, 0]),
+            lines[r, 1:].astype(np.int32),
+            out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32),
+            channels,
+            stride,
+        )
+    return out.reshape(h, w, channels)
 
 
 def encode_png_gray(grid: np.ndarray, filter_type: int | None = None) -> bytes:
@@ -283,6 +335,66 @@ def encode_png_gray(grid: np.ndarray, filter_type: int | None = None) -> bytes:
         )
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_rgb(rgb: np.ndarray, filter_type: int | None = None) -> bytes:
+    """8-bit RGB (color type 2) PNG encoder — the debug-image sink's
+    writer (reference modules/segmentation_images.py:27-53 saves
+    palette-colored segmentation PNGs via matplotlib; here the encoder
+    itself is the from-scratch module one). Per-row filter cycling
+    like encode_png_gray, generalized to bpp=3 (left neighbor at
+    distance 3 bytes per the PNG spec)."""
+    import struct
+    import zlib
+
+    g = np.asarray(rgb, dtype=np.uint8)
+    h, w, ch = g.shape
+    if ch != 3:
+        raise ValueError("encode_png_rgb expects (h, w, 3)")
+    bpp = 3
+    stride = w * bpp
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = (r % 5) if filter_type is None else int(filter_type)
+        cur = g[r].reshape(stride).astype(np.int32)
+        left = np.concatenate((np.zeros(bpp, np.int32), cur[:-bpp]))
+        upleft = np.concatenate((np.zeros(bpp, np.int32), prev[:-bpp]))
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - left
+        elif f == 2:
+            filt = cur - prev
+        elif f == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth — fully vectorizable on ENCODE (left/up/upleft
+            # come from the reconstructed arrays, no sequential dep)
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        raw.append(f)
+        raw += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
