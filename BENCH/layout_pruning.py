@@ -166,6 +166,9 @@ def main() -> None:
             f"| unsorted | {u_hit} / {len(ur)} | {out['unsorted_all']} | {out['unsorted_best_sec']} |\n\n"
             f"speedup (best/best): {out['speedup']}x\n"
         )
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
     print(json.dumps(out))
 
 

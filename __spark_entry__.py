@@ -443,48 +443,6 @@ def q_roads_gvi_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_missing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = agg.missing_images_metrics(D.spark_gvi(spark, sf_dir))
-    return m.select(
-        "unavailable",
-        "unsuitable",
-        "total_null",
-        F.round("proportion_null", 6).alias("proportion_null"),
-        "total_points",
-    )
-
-
-def q_panoramic_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = agg.panoramic_images_metrics(D.spark_gvi(spark, sf_dir))
-    return m.select(
-        "panoramic_count",
-        "total_images",
-        F.round("proportion_panoramic", 6).alias("proportion_panoramic"),
-    )
-
-
-def q_availability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = agg.availability_score(D.spark_gvi(spark, sf_dir))
-    return m.select(
-        "gvi_points",
-        F.round("road_length_km", 6).alias("road_length_km"),
-        "total_points",
-        F.round("availability_score", 6).alias("availability_score"),
-        F.round("adjusted_availability_score", 6).alias("adjusted_availability_score"),
-    )
-
-
-def q_usability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = agg.usability_score(D.spark_gvi(spark, sf_dir))
-    return m.select(
-        "gvi_points",
-        F.round("road_length_km", 6).alias("road_length_km"),
-        "total_images",
-        F.round("usability_score", 6).alias("usability_score"),
-        F.round("adjusted_usability_score", 6).alias("adjusted_usability_score"),
-    )
-
-
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's four 1-row metric reports (missing/panoramic/
     availability/usability — modules/metrics.py) as ONE wide 1-row

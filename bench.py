@@ -213,7 +213,10 @@ def bench_curate_funnel(
     from streetview_naturevisibility_spark.operators.dedup import minhash_lsh_pairs
     from streetview_naturevisibility_spark.operators.textops import analyze_documents
 
-    stage = os.path.join(tempfile.mkdtemp(prefix="bench_funnel_"), "docs")
+    import shutil
+
+    stage_root = tempfile.mkdtemp(prefix="bench_funnel_")
+    stage = os.path.join(stage_root, "docs")
     synthetic_docs(spark, n_docs, 4 * cpus).write.mode("overwrite").parquet(stage)
     docs = spark.read.parquet(stage)
 
@@ -240,6 +243,7 @@ def bench_curate_funnel(
     )
     counts["sampled"] = sampled.count()
     dt = time.time() - t0
+    shutil.rmtree(stage_root, ignore_errors=True)
     return dt, counts
 
 

@@ -84,6 +84,10 @@ def write_debug_pngs(
     os.makedirs(out_dir, exist_ok=True)
 
     def render(batches):
+        # executors run on other hosts in a real deployment: out_dir
+        # must exist THERE, not just where the driver ran makedirs
+        # (out_dir is expected to be shared storage in that case)
+        os.makedirs(out_dir, exist_ok=True)
         for b in batches:
             rows = {k.name: [] for k in MANIFEST.fields}
             for iid, num, labels, width in zip(

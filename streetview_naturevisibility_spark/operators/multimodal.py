@@ -186,12 +186,13 @@ def _unfilter_row(
     return rec.astype(np.uint8)
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """REAL decoder for non-interlaced 8-bit PNG (grayscale / RGB /
-    RGBA / gray+alpha), stdlib ``zlib`` + NumPy: concatenate IDAT,
-    inflate, undo the 5 scanline filters (None/Sub/Up/Average/Paeth),
-    average color channels to a (h, w) uint8 grayscale grid. No PIL —
-    PNG is just zlib-compressed filtered scanlines."""
+def decode_png_channels(payload: bytes) -> np.ndarray:
+    """Full-channel REAL decoder for non-interlaced 8-bit PNG -> (h, w,
+    channels) uint8, stdlib ``zlib`` + NumPy: concatenate IDAT,
+    inflate, undo the 5 scanline filters (_unfilter_row). The single
+    parse both entry points share — ``decode_png`` collapses the
+    result to grayscale for the feature pipeline; the debug-image sink
+    roundtrips the actual RGB planes."""
     import struct
     import zlib
 
@@ -232,59 +233,17 @@ def decode_png(payload: bytes) -> np.ndarray:
             channels,
             stride,
         )
-    grid = out.reshape(h, w, channels)
-    if ctype == 0:
-        return grid[:, :, 0]
-    if ctype == 4:  # gray + alpha: gray channel
-        return grid[:, :, 0]
-    # RGB(A): mean over the color channels, alpha ignored
-    return grid[:, :, :3].mean(axis=2).astype(np.uint8)
-
-
-def decode_png_channels(payload: bytes) -> np.ndarray:
-    """Full-channel PNG decode -> (h, w, channels) uint8. decode_png
-    collapses to grayscale for the feature pipeline; the debug-image
-    sink roundtrip needs the actual RGB planes, so this variant keeps
-    them (same chunk walk and _unfilter_row machinery)."""
-    import struct
-    import zlib
-
-    if not payload.startswith(_PNG_SIG):
-        raise ValueError("not a PNG payload")
-    pos = len(_PNG_SIG)
-    idat = bytearray()
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack_from(">I", payload, pos)
-        ctag = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length
-        if ctag == b"IHDR":
-            w, h, depth, ctype, _c, _f, interlace = struct.unpack(">IIBBBBB", data)
-        elif ctag == b"IDAT":
-            idat += data
-        elif ctag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0:
-        raise ValueError("only 8-bit non-interlaced PNG supported")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(bytes(idat))
-    stride = w * channels
-    lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        out[r] = _unfilter_row(
-            int(lines[r, 0]),
-            lines[r, 1:].astype(np.int32),
-            out[r - 1].astype(np.int32) if r > 0 else np.zeros(stride, np.int32),
-            channels,
-            stride,
-        )
     return out.reshape(h, w, channels)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Grayscale PNG decode -> (h, w) uint8 for the feature pipeline:
+    full-channel decode, then collapse (gray / gray+alpha: the gray
+    plane; RGB(A): mean over the color channels, alpha ignored)."""
+    grid = decode_png_channels(payload)
+    if grid.shape[2] <= 2:  # gray or gray+alpha
+        return grid[:, :, 0]
+    return grid[:, :, :3].mean(axis=2).astype(np.uint8)
 
 
 def encode_png_gray(grid: np.ndarray, filter_type: int | None = None) -> bytes:
@@ -556,7 +515,8 @@ def sample_video_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         rows["t_ms"].append(float(t))
                         rows["frame_bytes"].append(len(fb))
                     continue
-                n = max(int((dur or 0) // every_ms), 1)
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                n = max(dur // every_ms, 1)
                 for i in range(n):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
@@ -649,8 +609,17 @@ def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                 payload = bytes(payload)
                 if is_mp4(payload):
                     for idx, fb, t in extract_frames(payload, every_ms):
+                        grid = None
                         if fb.startswith(b"\xff\xd8"):
-                            grid = decode_image(fb, 0, 0)
+                            try:
+                                grid = decode_image(fb, 0, 0)
+                            except ValueError:
+                                # SOI signature but not baseline-
+                                # decodable (progressive/12-bit/
+                                # corrupt): the documented fake, not a
+                                # failed task
+                                grid = None
+                        if grid is not None:
                             emit(mid, idx, float(t), "mjpeg", grid)
                         else:
                             w0 = int(wd) if wd and not pd.isna(wd) else 8
@@ -660,7 +629,8 @@ def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                                 _fake_decode_image(fb, w0, h0),
                             )
                     continue
-                n = max(int((dur or 0) // every_ms), 1)
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                n = max(dur // every_ms, 1)
                 for idx in range(n):
                     w0 = int(wd) if wd and not pd.isna(wd) else 8
                     h0 = int(ht) if ht and not pd.isna(ht) else 8

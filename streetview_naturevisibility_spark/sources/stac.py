@@ -158,10 +158,11 @@ def ndvi_for_aoi(
     date_range: tuple[str, str],
     collection: str = "sentinel-2-l2a",
     max_cloud: float = 20.0,
-) -> tuple[DataFrame, "pd.Series"]:
-    """End-to-end S9: catalog scan -> search -> lowest-cloud selection
-    (ONE driver row — bounded by construction) -> band load -> NDVI.
-    Raises like the reference's ``next(...)`` when nothing matches."""
+):
+    """End-to-end S9 -> (ndvi DataFrame, selected item Row): catalog
+    scan -> search -> lowest-cloud selection (ONE driver Row — bounded
+    by construction) -> band load -> NDVI. Raises like the reference's
+    ``next(...)`` when nothing matches."""
     found = select_lowest_cloud(
         search_items(read_stac_items(spark, catalog_dir), collection, bbox,
                      date_range, max_cloud)

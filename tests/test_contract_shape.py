@@ -7,7 +7,23 @@ registry inside the cap and keep queries() and oracle_sql() in
 lockstep so every operator family stays value-checked every round.
 """
 
+import pytest
+
 import __spark_entry__ as entry
+
+
+@pytest.fixture(autouse=True)
+def _stub_goldens(monkeypatch):
+    """oracle_sql() resolves its golden-table entries via
+    tools.make_golden.ensure_golden, which generates parquet under
+    dist/golden (minutes of compute on a cold checkout) — a shape
+    check must not trigger that. _golden_sql imports ensure_golden at
+    call time, so patching the module attribute suffices."""
+    import tools.make_golden as mg
+
+    monkeypatch.setattr(
+        mg, "ensure_golden", lambda name, sf_dir: f"/stub/golden/{name}.parquet"
+    )
 
 
 def test_at_most_50_queries():

@@ -487,3 +487,36 @@ class TestMjpegVideoDecode:
             .toPandas()
         )
         assert a.equals(b)
+
+    def test_undecodable_jpeg_frame_falls_back_to_fake(self, spark):
+        """A frame with the JPEG SOI signature but a non-baseline
+        stream (progressive SOF2) must take the documented fake path,
+        not fail the Spark task (review finding)."""
+        import struct
+
+        from streetview_naturevisibility_spark.functions.mp4box import encode_mp4
+
+        seg = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        prog = (
+            b"\xff\xd8\xff\xc2" + struct.pack(">H", len(seg) + 2) + seg + b"\xff\xd9"
+        )
+        payload = encode_mp4([prog, prog], sample_dur_ms=500)
+        media = spark.createDataFrame(
+            [(1, "video", bytearray(payload), "video/mp4", None, None, 1000)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.video_frame_features(media, every_ms=1000).toPandas()
+        assert len(out) == 1 and (out["codec"] == "fake").all()
+
+    def test_null_duration_non_container_payload(self, spark):
+        """NULL duration_ms + non-MP4 payload: one fake frame, no
+        NaN-to-int crash (review finding)."""
+        media = spark.createDataFrame(
+            [(2, "video", bytearray(b"opaque-bytes"), "video/x-opaque",
+              None, None, None)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.video_frame_features(media, every_ms=1000).toPandas()
+        assert len(out) == 1 and out["codec"].iloc[0] == "fake"
+        frames = mm.sample_video_frames(media, every_ms=1000).toPandas()
+        assert len(frames) == 1

@@ -224,7 +224,8 @@ def main() -> None:
         write_spatial_sorted,
     )
 
-    zpath = os.path.join(tempfile.mkdtemp(prefix="explain_zorder_"), "pages")
+    _ztmp = tempfile.mkdtemp(prefix="explain_zorder_")
+    zpath = os.path.join(_ztmp, "pages")
     write_spatial_sorted(
         D.spark_pages(spark, sf_dir).select("doc_id", "tile_x", "tile_y"),
         zpath,
@@ -250,6 +251,9 @@ def main() -> None:
             n9,
         )
     )
+    import shutil
+
+    shutil.rmtree(_ztmp, ignore_errors=True)
 
     all_ok = all(s[3] for s in sections)
 
