@@ -228,6 +228,14 @@ def bench_curate_funnel(
     digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
     keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
     exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
+    # the survivor frame feeds FOUR consumers (LSH signatures, the
+    # pair join-back, the keep-canonical anti-join, the sampler) —
+    # without a persist each one re-runs scan+analyze+dedup upstream.
+    # MEMORY_AND_DISK: at 100 TB a real funnel would checkpoint this
+    # stage to parquet instead (the CLI writes stage outputs anyway).
+    from pyspark import StorageLevel
+
+    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     counts["exact"] = exact.count()
     pairs, metrics = minhash_lsh_pairs(
         exact, jaccard_threshold=0.5, max_bucket=100_000, return_metrics=True
@@ -243,6 +251,7 @@ def bench_curate_funnel(
     )
     counts["sampled"] = sampled.count()
     dt = time.time() - t0
+    exact.unpersist()
     shutil.rmtree(stage_root, ignore_errors=True)
     return dt, counts
 
