@@ -192,7 +192,7 @@ def synthetic_docs(spark: SparkSession, n: int, partitions: int):
 
 
 def bench_curate_funnel(
-    spark: SparkSession, n_docs: int, cpus: int
+    spark: SparkSession, n_docs: int, cpus: int, persist_exact: bool = False
 ) -> tuple[float, dict[str, int]]:
     """The LLM-training-data curate funnel end-to-end (the same
     composition as `cli curate`): quality score -> exact dedup ->
@@ -228,14 +228,21 @@ def bench_curate_funnel(
     digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
     keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
     exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
-    # the survivor frame feeds FOUR consumers (LSH signatures, the
-    # pair join-back, the keep-canonical anti-join, the sampler) —
-    # without a persist each one re-runs scan+analyze+dedup upstream.
-    # MEMORY_AND_DISK: at 100 TB a real funnel would checkpoint this
-    # stage to parquet instead (the CLI writes stage outputs anyway).
-    from pyspark import StorageLevel
+    # persist_exact=False is the MEASURED default: the survivor frame
+    # feeds four consumers (LSH, pair join-back, keep-canonical
+    # anti-join, sampler) and caching it looks like an obvious win —
+    # but an interleaved A/B at 200k docs ran persist [344, 75] s vs
+    # plain [33, 23] s. Caching materializes EVERY column of the
+    # analyze_documents projection (including the expensive rolling
+    # fingerprint) for all rows, while without the cache Catalyst
+    # prunes each consumer down to (doc_id, text, lang) and never
+    # computes the unused columns at all. Recompute-with-pruning beats
+    # cache-without-pruning here; at 100 TB checkpoint a PRUNED
+    # projection to parquet instead.
+    if persist_exact:
+        from pyspark import StorageLevel
 
-    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+        exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
     counts["exact"] = exact.count()
     pairs, metrics = minhash_lsh_pairs(
         exact, jaccard_threshold=0.5, max_bucket=100_000, return_metrics=True
@@ -251,7 +258,8 @@ def bench_curate_funnel(
     )
     counts["sampled"] = sampled.count()
     dt = time.time() - t0
-    exact.unpersist()
+    if persist_exact:
+        exact.unpersist()
     shutil.rmtree(stage_root, ignore_errors=True)
     return dt, counts
 

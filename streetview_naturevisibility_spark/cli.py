@@ -178,12 +178,11 @@ def cmd_curate(args: argparse.Namespace) -> None:
     digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
     keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
     exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
-    # four downstream consumers re-run scan+quality+dedup without this
-    # (LSH, pair join-back, keep-canonical anti-join, sampler); at
-    # 100 TB checkpoint this stage to parquet instead of caching
-    from pyspark import StorageLevel
-
-    exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    # deliberately NOT cached: a measured A/B (bench.bench_curate_funnel
+    # docstring) showed caching this frame 3-10x SLOWER — the cache
+    # materializes every analyze_documents column (incl. the rolling
+    # fingerprint) while uncached consumers are column-pruned to
+    # (doc_id, text, lang); at 100 TB checkpoint a pruned projection
     n_exact = exact.count()
 
     # near-dup: LSH pairs -> connected components -> keep canonical
@@ -215,7 +214,6 @@ def cmd_curate(args: argparse.Namespace) -> None:
     n_out = out.count()
 
     out.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
-    exact.unpersist()
     print(
         f"[curate] in={n_in} quality>={args.min_quality}: {n_quality} "
         f"exact-dedup: {n_exact} near-dedup: {n_near} sampled: {n_out}"
