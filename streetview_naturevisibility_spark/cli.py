@@ -12,6 +12,9 @@ Subcommands (reference analogs cited):
 - ``metrics``   — scripts/mean_gvi_street.py + results_metrics.py
   reporting chain over a finished pipeline output.
 - ``gap-fill``  — predict_missing_gvi.py: zonal NDVI + OLS fill.
+- ``stac-ndvi`` — availability.py NDVI flow over a LOCAL static STAC
+  catalog: search -> lowest-cloud item -> red/nir -> NDVI grid in the
+  exact shape ``gap-fill --ndvi-grid`` consumes.
 - ``curate``    — training-corpus curation funnel over a documents
   table (engine addendum, no reference analog): quality filter ->
   exact dedup -> MinHash-LSH near-dup clustering with canonical
@@ -150,6 +153,41 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     print("gap-fill complete -> gvi_filled")
 
 
+def cmd_stac_ndvi(args: argparse.Namespace) -> None:
+    """S9 end-to-end as a user command (reference availability.py
+    get_ndvi flow): search a LOCAL static STAC catalog, pick the
+    lowest-cloud item, compute NDVI from its red/nir band rasters and
+    write an ``ndvi_grid.parquet`` in exactly the shape ``gap-fill
+    --ndvi-grid`` consumes (cell_x, cell_y, cx, cy, value) — catalog
+    to regression with no manual glue. Prints the reference's
+    image-info lines (availability.py:166-170)."""
+    from .sources.stac import ndvi_for_aoi
+
+    spark = get_spark(app_name="svnv-stac-ndvi", master=args.master)
+    bbox = tuple(float(v) for v in args.bbox.split(","))
+    if len(bbox) != 4:
+        raise SystemExit("--bbox expects x0,y0,x1,y1")
+    date_range = tuple(args.date_range.split(","))
+    if len(date_range) != 2:
+        raise SystemExit("--date-range expects start,end")
+    ndvi, item = ndvi_for_aoi(
+        spark, args.catalog, bbox, date_range,
+        collection=args.collection, max_cloud=args.max_cloud,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    out_path = os.path.join(args.out, "ndvi_grid.parquet")
+    ndvi.select(
+        "cell_x", "cell_y", "cx", "cy", F.col("ndvi").alias("value")
+    ).write.mode("overwrite").parquet(out_path)
+    print(
+        "Information on the satellite item used to compute NDVI values:"
+        f"\n   item: {item.item_id} ({item.collection})"
+        f"\n   datetime: {item.datetime}"
+        f"\n   cloud cover: {item.cloud_cover}"
+    )
+    print(f"stac-ndvi complete -> {out_path}")
+
+
 def cmd_curate(args: argparse.Namespace) -> None:
     """Training-corpus curation over a documents table: quality filter
     -> exact dedup -> MinHash-LSH near-dup clustering (keep canonical)
@@ -286,6 +324,15 @@ def main() -> None:
     )
     pc.add_argument("--default-rate", type=float, default=1.0)
     pc.set_defaults(fn=cmd_curate)
+
+    ps = sub.add_parser("stac-ndvi")
+    ps.add_argument("--catalog", required=True)
+    ps.add_argument("--bbox", required=True, help="x0,y0,x1,y1 (AOI)")
+    ps.add_argument("--date-range", default="2021-01-01,2021-12-30")
+    ps.add_argument("--collection", default="sentinel-2-l2a")
+    ps.add_argument("--max-cloud", type=float, default=20.0)
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_stac_ndvi)
 
     pl = sub.add_parser("layout")
     pl.add_argument("--input", required=True)

@@ -121,3 +121,32 @@ class TestPngDebugSink:
 
         with pytest.raises(ValueError, match="palette range"):
             colorize_labels(np.array([[0, 19]]))
+
+
+class TestStacNdviCli:
+    def test_cli_writes_gapfill_compatible_grid(self, spark, catalog, tmp_path, capsys):
+        import argparse
+
+        from streetview_naturevisibility_spark.cli import cmd_stac_ndvi
+
+        out = str(tmp_path / "ndvi_out")
+        args = argparse.Namespace(
+            master=None,
+            catalog=catalog,
+            bbox=",".join(str(v) for v in AOI),
+            date_range="2021-01-01,2021-12-30",
+            collection="sentinel-2-l2a",
+            max_cloud=20.0,
+            out=out,
+        )
+        cmd_stac_ndvi(args)
+        printed = capsys.readouterr().out
+        assert "item-0" in printed and "cloud cover: 3.0" in printed
+        grid = spark.read.parquet(os.path.join(out, "ndvi_grid.parquet"))
+        # the exact shape gap-fill --ndvi-grid consumes
+        assert sorted(grid.columns) == ["cell_x", "cell_y", "cx", "cy", "value"]
+        assert grid.count() == 20 * 15
+        got = grid.orderBy("cell_x", "cell_y").toPandas()
+        red = 0.2 + 0.1 * np.sin(got["cx"].to_numpy() / 400.0)
+        nir = 0.5 + 0.2 * np.cos(got["cy"].to_numpy() / 300.0)
+        assert np.allclose(got["value"].to_numpy(), (nir - red) / (nir + red), atol=1e-12)
