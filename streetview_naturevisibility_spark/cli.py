@@ -126,7 +126,15 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     ndvi = zonal_mean(points, grid, radius=args.distance / 2.0)
     feats = gvi.join(ndvi, "point_id", "left").withColumnRenamed("mean_ndvi", "ndvi")
     known_feats = feats.where(F.col("ndvi").isNotNull())
-    out = gap_fill_linear(known_feats, feature="ndvi", target="gvi")
+    # --model selects the filler (the reference evaluates both and its
+    # README picks the GAM on its data; linear stays the default for
+    # protocol continuity with rounds 1-3)
+    if getattr(args, "model", "linear") == "gam":
+        from .operators.regression import gap_fill_gam
+
+        out = gap_fill_gam(known_feats, feature="ndvi", target="gvi")
+    else:
+        out = gap_fill_linear(known_feats, feature="ndvi", target="gvi")
     out.orderBy("point_id").write.mode("overwrite").parquet(
         os.path.join(args.results, "gvi_filled")
     )
@@ -300,6 +308,7 @@ def main() -> None:
     pg.add_argument("--results", required=True)
     pg.add_argument("--ndvi-grid", required=True)
     pg.add_argument("--distance", type=float, default=50.0)
+    pg.add_argument("--model", choices=["linear", "gam"], default="linear")
     pg.set_defaults(fn=cmd_gap_fill)
 
     pc = sub.add_parser("curate")

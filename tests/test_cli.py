@@ -87,6 +87,19 @@ class TestCli:
         assert filled.count() > 0
         assert "gvi_filled" in filled.columns
 
+    def test_gap_fill_gam_model_flag(self, spark, fixture_dir, outdir, capsys):
+        cli.cmd_gap_fill(
+            _ns(
+                results=outdir,
+                ndvi_grid=os.path.join(fixture_dir, "ndvi_grid.parquet"),
+                distance=100.0,
+                model="gam",
+            )
+        )
+        capsys.readouterr()
+        filled = spark.read.parquet(os.path.join(outdir, "gvi_filled")).toPandas()
+        assert len(filled) > 0 and filled["gvi_filled"].notna().any()
+
 
 class TestCurate:
     def test_curate_funnel(self, spark, tmp_path, capsys):
