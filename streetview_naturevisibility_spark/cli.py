@@ -215,6 +215,15 @@ def cmd_curate(args: argparse.Namespace) -> None:
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
 
+    if getattr(args, "blocklist", None):
+        from .operators.textops import decontaminate
+
+        blk = spark.read.parquet(args.blocklist)
+        n_before = n_in
+        docs = decontaminate(docs, blk, n=args.decontam_n)
+        n_in = docs.count()
+        print(f"[decontam] dropped={n_before - n_in} (13-gram overlap vs blocklist)")
+
     scored = analyze_documents(docs, keep_input_cols=True)
     kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))
     n_quality = kept_q.count()
@@ -332,6 +341,13 @@ def main() -> None:
         help="per-stratum rates over predicted lang, e.g. en=0.25,de=0.5",
     )
     pc.add_argument("--default-rate", type=float, default=1.0)
+    pc.add_argument(
+        "--blocklist",
+        default=None,
+        help="parquet of benchmark docs (column `text`); docs sharing any "
+        "n-gram with it are dropped before the funnel (decontamination)",
+    )
+    pc.add_argument("--decontam-n", type=int, default=13)
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

@@ -218,3 +218,107 @@ def analyze_documents(
         F.round(cols["quality_score"], 6).alias("quality_score"),
         fingerprint_udf(F.col(text_col)).alias("fingerprint"),
     )
+
+
+# ------------------------------------------------------------------
+# benchmark decontamination + PII redaction (training-data hygiene —
+# the Dolma/GPT-style curation stages a 100 TB text pipeline runs
+# between quality filtering and dedup; engine addendum, no reference
+# analog)
+# ------------------------------------------------------------------
+def _shingle_hashes(text_col: str, n: int):
+    """Distinct xxhash64 hashes of the n-gram shingle STRINGS (exact
+    shingle identity — decontamination must not tolerate the tokenmix
+    truncation trade; collision probability 2^-64 per pair)."""
+    from ..operators.dedup import shingles_col
+
+    return F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_text_col: str = "text",
+    n: int = 13,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Docs sharing ANY n-gram (default 13 — the published GPT-3/PaLM
+    decontamination window) with the blocklist corpus -> (id, n_hits).
+
+    ``method="broadcast"`` (default): the blocklist's distinct shingle
+    hashes are collapsed to ONE array and joined as a single-row
+    broadcast; each doc evaluates `array_intersect` against it — no
+    shuffle of the corpus at all. Right whenever the blocklist is
+    benchmark-suite-sized (thousands of docs -> millions of shingles,
+    tens of MB). ``method="join"``: explode doc shingle hashes and
+    LEFT SEMI shuffle-join against the blocklist hash set — the path
+    for blocklists too big to broadcast."""
+    doc_h = docs.select(
+        F.col(id_col).alias("id"), _shingle_hashes(text_col, n).alias("hs")
+    )
+    blk_h = blocklist.select(
+        F.explode(_shingle_hashes(block_text_col, n)).alias("h")
+    ).distinct()
+    if method == "broadcast":
+        blk_arr = blk_h.agg(F.collect_set("h").alias("blk"))
+        return (
+            doc_h.join(F.broadcast(blk_arr))
+            .select(
+                F.col("id").alias(id_col),
+                F.size(F.array_intersect("hs", "blk")).alias("n_hits"),
+            )
+            .where(F.col("n_hits") > 0)
+        )
+    if method == "join":
+        hits = (
+            doc_h.select("id", F.explode("hs").alias("h"))
+            .join(blk_h, "h", "left_semi")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        return hits.select(F.col("id").alias(id_col), "n_hits")
+    raise ValueError(f"unknown method {method!r}")
+
+
+def decontaminate(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    method: str = "broadcast",
+) -> DataFrame:
+    """Drop every doc sharing an n-gram with the blocklist (broadcast
+    anti-join on the contaminated id set — hit sets are tiny relative
+    to the corpus by construction)."""
+    bad = contaminated_ids(
+        docs, blocklist, text_col=text_col, id_col=id_col, n=n, method=method
+    ).select(id_col)
+    return docs.join(F.broadcast(bad), id_col, "left_anti")
+
+
+# deliberately narrow, high-precision patterns (a curation pass wants
+# no false redactions of ordinary prose); all plain Java regex — the
+# whole redaction is whole-stage codegen
+_PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Append ``text_redacted`` plus per-pattern hit counts (email /
+    phone / IPv4 -> typed placeholder tokens). Counts come from
+    `regexp_count` on the ORIGINAL text, so they are exact even when
+    patterns overlap after substitution."""
+    out = df
+    red = F.col(text_col)
+    for name, pat, token in _PII_PATTERNS:
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("text_redacted", red)

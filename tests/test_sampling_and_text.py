@@ -107,3 +107,95 @@ class TestSamplePoints:
         a = sample_points(roads, spacing=50).orderBy("point_id").toPandas()
         b = sample_points(roads.repartition(7), spacing=50).orderBy("point_id").toPandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDecontamination:
+    """Benchmark-overlap decontamination: planted 13-gram contamination
+    must be found exactly — both the broadcast arrays_intersect path
+    and the explode+semi-join path — and clean docs must survive."""
+
+    def _corpus(self, spark):
+        bench_gram = " ".join(f"b{i}" for i in range(13))
+        docs = spark.createDataFrame(
+            [
+                (1, "clean doc " + " ".join(f"w{i}" for i in range(30))),
+                (2, "prefix words " + bench_gram + " suffix words here"),
+                (3, " ".join(f"x{i}" for i in range(20))),
+                (4, bench_gram),  # exactly the benchmark text
+                (5, "short doc"),  # shorter than n -> single truncated shingle
+            ],
+            "doc_id: long, text: string",
+        )
+        blocklist = spark.createDataFrame(
+            [(100, "intro " + bench_gram + " outro")],
+            "bid: long, text: string",
+        )
+        return docs, blocklist
+
+    def test_broadcast_and_join_methods_agree(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import (
+            contaminated_ids,
+        )
+
+        docs, blk = self._corpus(spark)
+        a = sorted(
+            (r.doc_id, r.n_hits)
+            for r in contaminated_ids(docs, blk, block_text_col="text",
+                                      method="broadcast").collect()
+        )
+        b = sorted(
+            (r.doc_id, r.n_hits)
+            for r in contaminated_ids(docs, blk, block_text_col="text",
+                                      method="join").collect()
+        )
+        assert a == b
+        assert [i for i, _ in a] == [2, 4]
+
+    def test_decontaminate_drops_only_hits(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import decontaminate
+
+        docs, blk = self._corpus(spark)
+        kept = sorted(r.doc_id for r in decontaminate(docs, blk).collect())
+        assert kept == [1, 3, 5]
+
+    def test_no_false_positives_on_disjoint_corpora(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import (
+            contaminated_ids,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"d{i}t{j}" for j in range(20))) for i in range(10)],
+            "doc_id: long, text: string",
+        )
+        blk = spark.createDataFrame(
+            [(0, " ".join(f"z{j}" for j in range(20)))], "bid: long, text: string"
+        )
+        assert contaminated_ids(docs, blk).count() == 0
+
+
+class TestPiiRedaction:
+    def test_patterns_replaced_and_counted(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import redact_pii
+
+        docs = spark.createDataFrame(
+            [
+                (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+                (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+                (3, "no pii here at all"),
+            ],
+            "doc_id: long, text: string",
+        )
+        out = {r.doc_id: r for r in redact_pii(docs).collect()}
+        assert "<EMAIL>" in out[1].text_redacted
+        assert "<PHONE>" in out[1].text_redacted
+        assert out[1].n_email == 1 and out[1].n_phone == 1
+        assert out[2].text_redacted.count("<IP>") == 2 and out[2].n_ipv4 == 2
+        assert out[3].text_redacted == out[3].text
+        assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
+
+    def test_plan_is_jvm_only(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import redact_pii
+
+        docs = spark.createDataFrame([(1, "a@b.co x")], "doc_id: long, text: string")
+        plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
