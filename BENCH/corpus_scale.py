@@ -86,6 +86,19 @@ def main() -> None:
     ).count()
     out["stratified_sample_s"] = round(time.time() - t0, 2)
 
+    # benchmark decontamination at corpus scale: 1,000-doc blocklist
+    # (benchmark-suite-sized), broadcast array_intersect path — zero
+    # corpus shuffle. Planting is inherent: the blocklist reuses the
+    # same generator, so its 1,000 docs are verbatim copies of corpus
+    # doc_ids 0..999 — those (plus their planted near-dups) MUST be
+    # flagged, giving a known hit floor of ~1,000.
+    from streetview_naturevisibility_spark.operators.textops import contaminated_ids
+
+    blk = synthetic_docs(spark, 1000, 8).selectExpr("doc_id AS bid", "text")
+    t0 = time.time()
+    n_contam = contaminated_ids(docs, blk, method="join").count()
+    out["decontam_join_s"] = round(time.time() - t0, 2)
+
     # adversarial chain-shaped CC: star vs propagation on the SAME
     # pair set. LSH dup components are near-cliques (diameter ~1-2,
     # propagation's home turf); chains are the worst case — diameter =
@@ -136,6 +149,7 @@ def main() -> None:
                 "n_sampled": n_sampled,
                 "planted_near_dups": planted,
                 "cc_chain_counts": cc_counts,
+                "n_contaminated": n_contam,
             }
         )
     )
