@@ -520,3 +520,45 @@ class TestMjpegVideoDecode:
         assert len(out) == 1 and out["codec"].iloc[0] == "fake"
         frames = mm.sample_video_frames(media, every_ms=1000).toPandas()
         assert len(frames) == 1
+
+
+class TestPngPropertyRoundtrip:
+    """Hypothesis property tests: any uint8 grid, any filter type,
+    gray and RGB — encode -> decode must be the identity."""
+
+    def test_gray_random_shapes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=20),
+            st.integers(min_value=1, max_value=20),
+            st.sampled_from([0, 1, 2, 3, 4, None]),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        )
+        def case(h, w, ft, seed):
+            rng = np.random.RandomState(seed)
+            g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+            assert np.array_equal(mm.decode_png(mm.encode_png_gray(g, ft)), g)
+
+        case()
+
+    def test_rgb_random_shapes(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            st.integers(min_value=1, max_value=16),
+            st.integers(min_value=1, max_value=16),
+            st.sampled_from([0, 1, 2, 3, 4, None]),
+            st.integers(min_value=0, max_value=2**32 - 1),
+        )
+        def case(h, w, ft, seed):
+            rng = np.random.RandomState(seed)
+            rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            out = mm.decode_png_channels(mm.encode_png_rgb(rgb, ft))
+            assert np.array_equal(out, rgb)
+
+        case()
