@@ -329,3 +329,30 @@ def redact_pii(
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         red = F.regexp_replace(red, pat, token)
     return out.withColumn("text_redacted", red)
+
+
+def decontaminate_streaming(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Streaming-safe decontamination: a stateless stream-static join —
+    the STATIC blocklist collapses to one broadcast row of shingle
+    hashes and every streaming doc keeps/drops itself by one
+    `array_intersect` probe. No aggregation, no watermark, no state:
+    usable directly inside `readStream -> ... -> writeStream` (batch
+    `decontaminate` computes the contaminated-id set first, which
+    would be a disallowed stream self-join). Same hash contract as the
+    batch paths, so batch == stream row-for-row (pytest-gated)."""
+    blk_arr = (
+        blocklist.select(F.explode(_shingle_hashes(text_col, n)).alias("h"))
+        .distinct()
+        .agg(F.collect_set("h").alias("_blk"))
+    )
+    out = docs.withColumn("_hs", _shingle_hashes(text_col, n)).join(
+        F.broadcast(blk_arr)
+    )
+    return out.where(F.size(F.array_intersect("_blk", "_hs")) == 0).drop(
+        "_hs", "_blk"
+    )

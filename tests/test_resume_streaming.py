@@ -131,3 +131,55 @@ class TestStreaming:
         assert out.count() == 200
         # and the marker is back for the next resume
         assert _os.path.exists(_os.path.join(data_path, "_SUCCESS"))
+
+
+class TestStreamingDecontamination:
+    def test_stream_static_join_matches_batch(self, spark, tmp_path):
+        """File-stream docs through decontaminate_streaming (stateless
+        stream-static broadcast join): planted contaminated docs are
+        dropped, survivors match the batch decontaminate row set."""
+        import os
+
+        from streetview_naturevisibility_spark.operators.textops import (
+            decontaminate,
+            decontaminate_streaming,
+        )
+
+        bench_gram = " ".join(f"b{i}" for i in range(13))
+        rows = []
+        for i in range(40):
+            if i % 10 == 3:
+                text = f"lead words {bench_gram} trail words"
+            else:
+                text = " ".join(f"w{i}t{j}" for j in range(20))
+            rows.append((i, text))
+        src = str(tmp_path / "src")
+        spark.createDataFrame(rows, "doc_id: long, text: string").repartition(
+            4
+        ).write.mode("overwrite").parquet(src)
+        blocklist = spark.createDataFrame(
+            [(0, "intro " + bench_gram + " outro")], "bid: long, text: string"
+        )
+
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        cleaned = decontaminate_streaming(stream, blocklist)
+        out = str(tmp_path / "out")
+        q = (
+            cleaned.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()
+        )
+        batch = sorted(
+            r.doc_id
+            for r in decontaminate(
+                spark.read.parquet(src), blocklist
+            ).select("doc_id").collect()
+        )
+        assert got == batch
+        assert all(i % 10 != 3 for i in got) and len(got) == 36
