@@ -87,8 +87,9 @@ def main() -> None:
     out["stratified_sample_s"] = round(time.time() - t0, 2)
 
     # benchmark decontamination at corpus scale: 1,000-doc blocklist
-    # (benchmark-suite-sized), broadcast array_intersect path — zero
-    # corpus shuffle. Planting is inherent: the blocklist reuses the
+    # (benchmark-suite-sized), explode + LEFT SEMI join path (the
+    # measured default — see textops.contaminated_ids docstring for
+    # the strategy A/B). Planting is inherent: the blocklist reuses the
     # same generator, so its 1,000 docs are verbatim copies of corpus
     # doc_ids 0..999 — those (plus their planted near-dups) MUST be
     # flagged, giving a known hit floor of ~1,000.

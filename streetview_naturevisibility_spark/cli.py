@@ -172,7 +172,10 @@ def cmd_stac_ndvi(args: argparse.Namespace) -> None:
     from .sources.stac import ndvi_for_aoi
 
     spark = get_spark(app_name="svnv-stac-ndvi", master=args.master)
-    bbox = tuple(float(v) for v in args.bbox.split(","))
+    try:
+        bbox = tuple(float(v) for v in args.bbox.split(","))
+    except ValueError:
+        raise SystemExit("--bbox expects x0,y0,x1,y1 (numbers)")
     if len(bbox) != 4:
         raise SystemExit("--bbox expects x0,y0,x1,y1")
     date_range = tuple(args.date_range.split(","))
@@ -222,7 +225,10 @@ def cmd_curate(args: argparse.Namespace) -> None:
         n_before = n_in
         docs = decontaminate(docs, blk, n=args.decontam_n)
         n_in = docs.count()
-        print(f"[decontam] dropped={n_before - n_in} (13-gram overlap vs blocklist)")
+        print(
+            f"[decontam] dropped={n_before - n_in} "
+            f"({args.decontam_n}-gram overlap vs blocklist)"
+        )
 
     scored = analyze_documents(docs, keep_input_cols=True)
     kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))

@@ -235,6 +235,18 @@ def _shingle_hashes(text_col: str, n: int):
     return F.transform(shingles_col(text_col, n), lambda s: F.xxhash64(s))
 
 
+def _blocklist_hash_array(blocklist: DataFrame, text_col: str, n: int) -> DataFrame:
+    """The blocklist's distinct shingle hashes as ONE single-row array
+    column ``blk`` — the shared hash contract of the broadcast batch
+    path and the streaming path (one definition so null-handling and
+    hashing can never drift between them)."""
+    return (
+        blocklist.select(F.explode(_shingle_hashes(text_col, n)).alias("h"))
+        .distinct()
+        .agg(F.collect_set("h").alias("blk"))
+    )
+
+
 def contaminated_ids(
     docs: DataFrame,
     blocklist: DataFrame,
@@ -266,7 +278,7 @@ def contaminated_ids(
         F.explode(_shingle_hashes(block_text_col, n)).alias("h")
     ).distinct()
     if method == "broadcast":
-        blk_arr = blk_h.agg(F.collect_set("h").alias("blk"))
+        blk_arr = _blocklist_hash_array(blocklist, block_text_col, n)
         return (
             doc_h.join(F.broadcast(blk_arr))
             .select(
@@ -297,13 +309,17 @@ def decontaminate(
     n: int = 13,
     method: str = "join",
 ) -> DataFrame:
-    """Drop every doc sharing an n-gram with the blocklist (broadcast
-    anti-join on the contaminated id set — hit sets are tiny relative
-    to the corpus by construction)."""
+    """Drop every doc sharing an n-gram with the blocklist (anti-join
+    on the contaminated id set). No forced broadcast: hit sets are
+    usually tiny and AQE will broadcast them on its own, but a
+    blocklist overlapping boilerplate shared by a large fraction of
+    the corpus can make the hit set corpus-sized — a forced broadcast
+    would then die on the driver where a shuffled anti-join
+    succeeds."""
     bad = contaminated_ids(
         docs, blocklist, text_col=text_col, id_col=id_col, n=n, method=method
     ).select(id_col)
-    return docs.join(F.broadcast(bad), id_col, "left_anti")
+    return docs.join(bad, id_col, "left_anti")
 
 
 # deliberately narrow, high-precision patterns (a curation pass wants
@@ -311,14 +327,18 @@ def decontaminate(
 # whole redaction is whole-stage codegen
 _PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]?\d{4}", "<PHONE>"),
+    # optional +cc, then (NXX) or NXX separated groups: matches
+    # "+1 (555) 123-4567", "555-123-4567", "(555) 123-4567",
+    # "555.123.4567" — a separator between the last two groups is
+    # REQUIRED so plain 10-digit ids are not redacted
+    ("phone",
+     r"(?:\+\d{1,3}[ .-]?)?(?:\(\d{3}\)[ .-]?|\d{3}[ .-])\d{3}[ .-]\d{4}",
+     "<PHONE>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
 
 
-def redact_pii(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append ``text_redacted`` plus per-pattern hit counts (email /
     phone / IPv4 -> typed placeholder tokens). Counts come from
     `regexp_count` on the ORIGINAL text, so they are exact even when
@@ -345,14 +365,13 @@ def decontaminate_streaming(
     `decontaminate` computes the contaminated-id set first, which
     would be a disallowed stream self-join). Same hash contract as the
     batch paths, so batch == stream row-for-row (pytest-gated)."""
-    blk_arr = (
-        blocklist.select(F.explode(_shingle_hashes(text_col, n)).alias("h"))
-        .distinct()
-        .agg(F.collect_set("h").alias("_blk"))
-    )
+    blk_arr = _blocklist_hash_array(blocklist, text_col, n)
     out = docs.withColumn("_hs", _shingle_hashes(text_col, n)).join(
         F.broadcast(blk_arr)
     )
-    return out.where(F.size(F.array_intersect("_blk", "_hs")) == 0).drop(
-        "_hs", "_blk"
-    )
+    # coalesce: a NULL text yields NULL shingles -> NULL intersect; the
+    # batch paths KEEP such docs (they can't be contaminated), so the
+    # stream must too or batch == stream breaks on null-text rows
+    return out.where(
+        F.coalesce(F.size(F.array_intersect("blk", "_hs")), F.lit(0)) == 0
+    ).drop("_hs", "blk")

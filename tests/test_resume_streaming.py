@@ -150,6 +150,8 @@ class TestStreamingDecontamination:
         for i in range(40):
             if i % 10 == 3:
                 text = f"lead words {bench_gram} trail words"
+            elif i == 7:
+                text = None  # null text must survive BOTH paths (review)
             else:
                 text = " ".join(f"w{i}t{j}" for j in range(20))
             rows.append((i, text))

@@ -189,6 +189,21 @@ class TestPiiRedaction:
         assert "<EMAIL>" in out[1].text_redacted
         assert "<PHONE>" in out[1].text_redacted
         assert out[1].n_email == 1 and out[1].n_phone == 1
+        # bare national formats (review finding: the first pattern
+        # required a country code and leaked these)
+        bare = spark.createDataFrame(
+            [
+                (10, "call 555-123-4567 now"),
+                (11, "or (555) 123-4567 works"),
+                (12, "digits 5551234567 are an id, not a phone"),
+                (13, "dotted 555.123.4567 too"),
+            ],
+            "doc_id: long, text: string",
+        )
+        bout = {r.doc_id: r for r in redact_pii(bare).collect()}
+        for i in (10, 11, 13):
+            assert bout[i].n_phone == 1 and "<PHONE>" in bout[i].text_redacted, i
+        assert bout[12].n_phone == 0  # separator required: plain ids kept
         assert out[2].text_redacted.count("<IP>") == 2 and out[2].n_ipv4 == 2
         assert out[3].text_redacted == out[3].text
         assert out[3].n_email == out[3].n_phone == out[3].n_ipv4 == 0
