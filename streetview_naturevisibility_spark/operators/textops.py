@@ -375,3 +375,31 @@ def decontaminate_streaming(
     return out.where(
         F.coalesce(F.size(F.array_intersect("blk", "_hs")), F.lit(0)) == 0
     ).drop("_hs", "blk")
+
+
+def normalize_text_col(text_col: str):
+    """Canonical text normalization for NORMALIZED exact dedup (the
+    standard pre-pass before byte-exact digesting: near-identical docs
+    differing only in case/whitespace collapse to one digest group):
+    lowercase, trim, collapse runs of whitespace to single spaces.
+    Pure codegen (lower + regexp_replace + trim)."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def exact_dedup_normalized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup over the NORMALIZED text digest -> one row per
+    group: (norm_md5, n_dups, keeper = min id). Same single-shuffle
+    shape as the byte-exact `dedup.exact_dedup`; choose by whether the
+    pipeline treats case/whitespace variants as the same document."""
+    return (
+        df.select(
+            F.col(id_col), F.md5(normalize_text_col(text_col)).alias("norm_md5")
+        )
+        .groupBy("norm_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keeper"),
+        )
+    )

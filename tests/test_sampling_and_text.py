@@ -214,3 +214,35 @@ class TestPiiRedaction:
         docs = spark.createDataFrame([(1, "a@b.co x")], "doc_id: long, text: string")
         plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestNormalizedDedup:
+    def test_case_and_whitespace_variants_collapse(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import (
+            exact_dedup_normalized,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello   World"),
+                (2, "hello world"),
+                (3, "  HELLO WORLD \t"),
+                (4, "different doc"),
+            ],
+            "doc_id: long, text: string",
+        )
+        out = {r.keeper: r for r in exact_dedup_normalized(docs).collect()}
+        assert out[1].n_dups == 3  # 1,2,3 collapse
+        assert out[4].n_dups == 1
+        assert len(out) == 2
+
+    def test_plan_is_jvm_only(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import (
+            exact_dedup_normalized,
+        )
+
+        docs = spark.createDataFrame([(1, "A  b")], "doc_id: long, text: string")
+        plan = (
+            exact_dedup_normalized(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
