@@ -534,3 +534,37 @@ class TestTokenmixWideN:
 
         with _pt.raises(ValueError, match="tokenmix supports"):
             dedup.tokenmix_shingle_hashes("text", n=9)
+
+
+class TestTokenmixPropertyExactness:
+    def test_hashset_jaccard_matches_string_shingles_any_n(self, spark):
+        """Property (hypothesis): for random small corpora and any
+        n in 2..8, tokenmix hash-set Jaccard == true n-gram string
+        Jaccard (no collisions at these sizes, no window truncation —
+        the regression class the _MIX_C fix closed)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        token = st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}")
+        doc = st.lists(token, min_size=1, max_size=25).map(" ".join)
+
+        @settings(max_examples=15, deadline=None)
+        @given(doc, doc, st.integers(min_value=2, max_value=8))
+        def case(a, b, n):
+            docs = spark.createDataFrame(
+                [(1, a), (2, b)], "doc_id: long, text: string"
+            )
+            got = (
+                docs.select(
+                    "doc_id", dedup.tokenmix_shingle_hashes("text", n).alias("hs")
+                )
+                .orderBy("doc_id")
+                .collect()
+            )
+            sa, sb = set(got[0].hs), set(got[1].hs)
+            ja = len(sa & sb) / len(sa | sb)
+            ta, tb = _shingle_set(a, n), _shingle_set(b, n)
+            want = len(ta & tb) / len(ta | tb)
+            assert abs(ja - want) < 1e-12, (a, b, n)
+
+        case()

@@ -246,3 +246,30 @@ class TestNormalizedDedup:
             exact_dedup_normalized(docs)._jdf.queryExecution().executedPlan().toString()
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestDecontamWindowSize:
+    def test_smaller_n_is_strictly_more_aggressive(self, spark):
+        """n=8 must flag every doc n=13 flags (any 13-gram overlap
+        implies an 8-gram overlap) and can flag more."""
+        from streetview_naturevisibility_spark.operators.textops import (
+            contaminated_ids,
+        )
+
+        gram8 = " ".join(f"g{i}" for i in range(8))
+        docs = spark.createDataFrame(
+            [
+                (1, "x " + " ".join(f"b{i}" for i in range(13)) + " y"),  # 13-hit
+                (2, "p " + gram8 + " q r s t u"),  # only 8-gram overlap
+                (3, " ".join(f"z{i}" for i in range(20))),  # clean
+            ],
+            "doc_id: long, text: string",
+        )
+        blk = spark.createDataFrame(
+            [(0, " ".join(f"b{i}" for i in range(13)) + " " + gram8)],
+            "bid: long, text: string",
+        )
+        hit13 = {r.doc_id for r in contaminated_ids(docs, blk, n=13).collect()}
+        hit8 = {r.doc_id for r in contaminated_ids(docs, blk, n=8).collect()}
+        assert hit13 == {1}
+        assert hit8 >= {1, 2} and 3 not in hit8
