@@ -48,6 +48,18 @@ _ITEM_SCHEMA = StructType(
                 [
                     StructField("datetime", StringType(), True),
                     StructField("eo:cloud_cover", DoubleType(), True),
+                    StructField(
+                        "classification:classes",
+                        ArrayType(
+                            StructType(
+                                [
+                                    StructField("value", DoubleType(), True),
+                                    StructField("description", StringType(), True),
+                                ]
+                            )
+                        ),
+                        True,
+                    ),
                 ]
             ),
             True,
@@ -63,6 +75,11 @@ _ITEM_SCHEMA = StructType(
                     ),
                     StructField(
                         "nir",
+                        StructType([StructField("href", StringType(), True)]),
+                        True,
+                    ),
+                    StructField(
+                        "map",
                         StructType([StructField("href", StringType(), True)]),
                         True,
                     ),
@@ -94,6 +111,8 @@ def read_stac_items(spark: SparkSession, catalog_dir: str) -> DataFrame:
         F.element_at("bbox", 4).alias("ymax"),
         F.col("assets.red.href").alias("red_href"),
         F.col("assets.nir.href").alias("nir_href"),
+        F.col("assets.map.href").alias("map_href"),
+        F.col("properties.`classification:classes`").alias("classes"),
     )
 
 
@@ -176,6 +195,43 @@ def ndvi_for_aoi(
     return load_ndvi(spark, item), item
 
 
+def landcover_percentages(
+    spark: SparkSession,
+    catalog_dir: str,
+    points: DataFrame,
+    radius: float = 50.0,
+    collection: str = "esa-worldcover",
+):
+    """The reference's landcover flow (availability.py:292-534,
+    get_landcover_percentages) Spark-first: search the catalog for the
+    worldcover collection, take the MOST RECENT item (the reference
+    takes items[0], "the first, most recent one" — here an explicit
+    datetime-desc order with item_id tie-break), load its class-map
+    raster, and compute per-point per-class cell percentages inside
+    the euclidean buffer via the meter-bin zonal-histogram kernel
+    (operators/zonal.zonal_histogram — grid side never shuffled), then
+    name classes from the item's ``classification:classes`` table
+    (reference availability.py:397-402 classmap). Returns
+    (per-point DataFrame with class descriptions, item Row)."""
+    from ..operators.zonal import zonal_histogram
+
+    items = read_stac_items(spark, catalog_dir).where(
+        F.col("collection") == collection
+    )
+    found = items.orderBy(F.desc("datetime"), F.asc("item_id")).limit(1).collect()
+    if not found:
+        raise ValueError(f"no STAC item in collection {collection}")
+    item = found[0]
+    grid = spark.read.parquet(item.map_href).withColumnRenamed("value", "class")
+    hist = zonal_histogram(points, grid, class_col="class", radius=radius)
+    classmap = spark.createDataFrame(
+        [(float(c.value), c.description) for c in (item.classes or [])],
+        "class: double, class_description: string",
+    )
+    out = hist.join(F.broadcast(classmap), "class", "left")
+    return out, item
+
+
 # ------------------------------------------------------------ fixture
 def write_stac_fixture(
     out_dir: str, n_items: int = 6, nx: int = 20, ny: int = 15
@@ -241,6 +297,58 @@ def write_stac_fixture(
         with open(os.path.join(items_dir, fname), "w") as f:
             json.dump(item, f, indent=2)
         links.append({"rel": "item", "href": f"items/{fname}"})
+    # two worldcover items (different vintages — the MOST RECENT must
+    # win selection): class value = 10 ("tree cover") left of the bbox
+    # midline, 30 ("grassland") right of it — analytic per-point
+    # fractions for the oracle
+    x0, y0 = base[0] - 500.0, base[1] - 500.0
+    x1, y1 = base[2] + 500.0, base[3] + 500.0
+    for k, year in enumerate((2020, 2021)):
+        cx_idx, cy_idx = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        cx_idx, cy_idx = cx_idx.ravel(), cy_idx.ravel()
+        cx = x0 + 50.0 + 100.0 * cx_idx
+        cy = y0 + 50.0 + 100.0 * cy_idx
+        mid = (x0 + x1) / 2.0
+        # the 2020 vintage plants the INVERTED layout so selecting the
+        # wrong (older) item is caught by value checks
+        left_cls, right_cls = (30.0, 10.0) if year == 2020 else (10.0, 30.0)
+        cls = np.where(cx < mid, left_cls, right_cls)
+        p = os.path.join(rasters_dir, f"worldcover-{year}.parquet")
+        pd.DataFrame(
+            {
+                "cell_x": cx_idx.astype(np.int32),
+                "cell_y": cy_idx.astype(np.int32),
+                "cx": cx,
+                "cy": cy,
+                "value": cls,
+            }
+        ).to_parquet(p, index=False)
+        item = {
+            "type": "Feature",
+            "stac_version": "1.0.0",
+            "id": f"worldcover-{year}",
+            "collection": "esa-worldcover",
+            "bbox": [x0, y0, x1, y1],
+            "geometry": {
+                "type": "Polygon",
+                "coordinates": [
+                    [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+                ],
+            },
+            "properties": {
+                "datetime": f"{year}-06-30T00:00:00Z",
+                "classification:classes": [
+                    {"value": 10, "description": "Tree cover"},
+                    {"value": 30, "description": "Grassland"},
+                ],
+            },
+            "assets": {"map": {"href": p}},
+        }
+        fname = f"worldcover-{year}.json"
+        with open(os.path.join(items_dir, fname), "w") as f:
+            json.dump(item, f, indent=2)
+        links.append({"rel": "item", "href": f"items/{fname}"})
+
     with open(os.path.join(out_dir, "catalog.json"), "w") as f:
         json.dump(
             {

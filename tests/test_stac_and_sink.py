@@ -29,7 +29,7 @@ YEAR = ("2021-01-01", "2021-12-30")
 class TestStacSource:
     def test_items_parse_with_explicit_schema(self, spark, catalog):
         items = stac.read_stac_items(spark, catalog).orderBy("item_id").collect()
-        assert len(items) == 6
+        assert len(items) == 8  # 6 sentinel + 2 worldcover vintages
         r0 = items[0]
         assert r0.item_id == "item-0" and r0.collection == "sentinel-2-l2a"
         assert r0.cloud_cover == 3.0
@@ -150,3 +150,49 @@ class TestStacNdviCli:
         red = 0.2 + 0.1 * np.sin(got["cx"].to_numpy() / 400.0)
         nir = 0.5 + 0.2 * np.cos(got["cy"].to_numpy() / 300.0)
         assert np.allclose(got["value"].to_numpy(), (nir - red) / (nir + red), atol=1e-12)
+
+
+class TestLandcoverPercentages:
+    def test_most_recent_vintage_and_fractions(self, spark, catalog):
+        """Worldcover flow: most-recent item wins (2020 plants the
+        INVERTED class layout, so selecting it would flip every
+        value), and per-point class percentages match a NumPy oracle
+        over the planted half/half grid."""
+        import pandas as pd
+
+        # grid: 20x15 cells of 100 m starting at (619500-500, ...)
+        # planted: class 10 left of the bbox midline, 30 right (2021)
+        x0, y0 = 620000.0 - 500.0, 5180000.0 - 500.0
+        x1 = 622000.0 + 500.0
+        mid = (x0 + x1) / 2.0
+        pts = spark.createDataFrame(
+            [
+                (1, x0 + 250.0, y0 + 750.0),   # deep left -> all class 10
+                (2, x1 - 300.0, y0 + 750.0),   # deep right -> all class 30
+                (3, mid, y0 + 750.0),          # straddles the midline
+            ],
+            "point_id: long, x: double, y: double",
+        )
+        out, item = stac.landcover_percentages(spark, catalog, pts, radius=220.0)
+        assert item.item_id == "worldcover-2021"
+        got = out.toPandas()
+        # NumPy oracle over the planted grid
+        import numpy as np
+
+        cx = x0 + 50.0 + 100.0 * np.arange(20)
+        cy = y0 + 50.0 + 100.0 * np.arange(15)
+        CX, CY = np.meshgrid(cx, cy, indexing="ij")
+        cls = np.where(CX < mid, 10.0, 30.0)
+        for pid, px, py in [(1, x0 + 250.0, y0 + 750.0), (2, x1 - 300.0, y0 + 750.0), (3, mid, y0 + 750.0)]:
+            inside = (CX - px) ** 2 + (CY - py) ** 2 <= 220.0**2
+            want = {
+                c: int(((cls == c) & inside).sum())
+                for c in (10.0, 30.0)
+                if ((cls == c) & inside).any()
+            }
+            rows = got[got["point_id"] == pid]
+            assert {r["class"]: r.cell_count for _, r in rows.iterrows()} == want, pid
+        # class names joined from the item's classification table
+        names = dict(zip(got["class"], got["class_description"]))
+        assert names[10.0] == "Tree cover"
+        assert 1 in set(got[got["class_description"] == "Tree cover"]["point_id"])
