@@ -15,6 +15,8 @@ Subcommands (reference analogs cited):
 - ``stac-ndvi`` — availability.py NDVI flow over a LOCAL static STAC
   catalog: search -> lowest-cloud item -> red/nir -> NDVI grid in the
   exact shape ``gap-fill --ndvi-grid`` consumes.
+- ``stac-landcover`` — availability.py get_landcover_percentages flow:
+  most-recent esa-worldcover item -> per-point class percentages.
 - ``curate``    — training-corpus curation funnel over a documents
   table (engine addendum, no reference analog): quality filter ->
   exact dedup -> MinHash-LSH near-dup clustering with canonical
@@ -199,6 +201,29 @@ def cmd_stac_ndvi(args: argparse.Namespace) -> None:
     print(f"stac-ndvi complete -> {out_path}")
 
 
+def cmd_stac_landcover(args: argparse.Namespace) -> None:
+    """Reference get_landcover_percentages flow (availability.py:292):
+    per-point landcover class percentages from the most recent
+    esa-worldcover item of a LOCAL static STAC catalog, euclidean
+    buffer of --radius meters."""
+    from .sources.stac import landcover_percentages
+
+    spark = get_spark(app_name="svnv-stac-landcover", master=args.master)
+    points = spark.read.parquet(args.points)
+    out, item = landcover_percentages(
+        spark, args.catalog, points, radius=args.radius
+    )
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "landcover_percentages.parquet")
+    out.write.mode("overwrite").parquet(path)
+    print(
+        "Information on the land cover item used:"
+        f"\n   item: {item.item_id} ({item.collection})"
+        f"\n   datetime: {item.datetime}"
+    )
+    print(f"stac-landcover complete -> {path}")
+
+
 def cmd_curate(args: argparse.Namespace) -> None:
     """Training-corpus curation over a documents table: quality filter
     -> exact dedup -> MinHash-LSH near-dup clustering (keep canonical)
@@ -364,6 +389,14 @@ def main() -> None:
     ps.add_argument("--max-cloud", type=float, default=20.0)
     ps.add_argument("--out", required=True)
     ps.set_defaults(fn=cmd_stac_ndvi)
+
+    pw = sub.add_parser("stac-landcover")
+    pw.add_argument("--catalog", required=True)
+    pw.add_argument("--points", required=True,
+                    help="parquet with point_id, x, y (projected meters)")
+    pw.add_argument("--radius", type=float, default=50.0)
+    pw.add_argument("--out", required=True)
+    pw.set_defaults(fn=cmd_stac_landcover)
 
     pl = sub.add_parser("layout")
     pl.add_argument("--input", required=True)

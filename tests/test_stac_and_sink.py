@@ -196,3 +196,30 @@ class TestLandcoverPercentages:
         names = dict(zip(got["class"], got["class_description"]))
         assert names[10.0] == "Tree cover"
         assert 1 in set(got[got["class_description"] == "Tree cover"]["point_id"])
+
+
+class TestStacLandcoverCli:
+    def test_cli_writes_percentages(self, spark, catalog, tmp_path, capsys):
+        import argparse
+
+        from streetview_naturevisibility_spark.cli import cmd_stac_landcover
+
+        pts = str(tmp_path / "pts")
+        spark.createDataFrame(
+            [(1, 620000.0 - 250.0, 5180000.0 + 250.0)],
+            "point_id: long, x: double, y: double",
+        ).write.mode("overwrite").parquet(pts)
+        out = str(tmp_path / "lc")
+        cmd_stac_landcover(
+            argparse.Namespace(
+                master=None, catalog=catalog, points=pts, radius=220.0, out=out
+            )
+        )
+        printed = capsys.readouterr().out
+        assert "worldcover-2021" in printed
+        got = spark.read.parquet(
+            os.path.join(out, "landcover_percentages.parquet")
+        ).toPandas()
+        assert len(got) >= 1
+        assert set(got["class_description"]) <= {"Tree cover", "Grassland"}
+        assert got["pct"].str.endswith("%").all()
