@@ -143,6 +143,16 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     # the reference's model-selection printout
     # (predict_missing_gvi.py:81-85: cv=5 R2 / RMSE / AIC)
     m = gap_fill_cv_metrics(known_feats, feature="ndvi", target="gvi").collect()[0]
+    if not m.n_known:
+        # zero known rows (e.g. the NDVI raster does not overlap the
+        # study area at all): nothing to fit — report and stop instead
+        # of crashing on None comparisons
+        print(
+            "WARNING: no points with NDVI values — check that the NDVI "
+            "raster covers the study area; gvi_filled is empty (points "
+            "without an NDVI feature cannot be predicted)"
+        )
+        return
     if m.n_known < 5 or m.avg_rmse is None or m.avg_r2 is None:
         print(
             f"WARNING: CV metrics degenerate (n_known={m.n_known}; "

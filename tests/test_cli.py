@@ -101,6 +101,31 @@ class TestCli:
         assert len(filled) > 0 and filled["gvi_filled"].notna().any()
 
 
+    def test_gap_fill_disjoint_raster_warns_not_crashes(
+        self, spark, fixture_dir, outdir, tmp_path, capsys
+    ):
+        """An NDVI raster that does not overlap the study area at all:
+        clean warning + empty output, not a TypeError on None metrics
+        (found by the stac-ndvi -> gap-fill integration drive)."""
+        import pandas as pd
+
+        far = str(tmp_path / "far_grid.parquet")
+        pd.DataFrame(
+            {
+                "cell_x": [0, 1],
+                "cell_y": [0, 0],
+                "cx": [9e6, 9e6 + 10],
+                "cy": [9e6, 9e6],
+                "value": [0.5, 0.6],
+            }
+        ).to_parquet(far, index=False)
+        cli.cmd_gap_fill(
+            _ns(results=outdir, ndvi_grid=far, distance=100.0, model="linear")
+        )
+        text = capsys.readouterr().out
+        assert "WARNING: no points with NDVI values" in text
+        assert spark.read.parquet(os.path.join(outdir, "gvi_filled")).count() == 0
+
 class TestCurate:
     def test_curate_funnel(self, spark, tmp_path, capsys):
         """Curation funnel over the sf0.001 documents table: counts are
