@@ -403,3 +403,87 @@ def exact_dedup_normalized(
             F.min(id_col).alias("keeper"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# n-gram language-model perplexity scoring (CCNet-style quality signal:
+# score each doc by a bigram LM trained on a reference corpus; engine
+# addendum, no reference analog)
+# ------------------------------------------------------------------
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, int]:
+    """-> (unigram counts (w, c1), bigram counts (w1, w2, c2), vocab
+    size V). Pure explode + groupBy counts — the model tables are
+    vocabulary-sized (small next to any corpus) and broadcast at
+    scoring time."""
+    toks = corpus.select(F.split(F.col(text_col), " ").alias("tk"))
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    v = uni.count()
+    return uni, bi, v
+
+
+def score_bigram_logprob(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    vocab_size: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-doc mean add-k-smoothed bigram log-probability (the higher,
+    the more in-domain — the CCNet quality axis):
+
+        logP(w2 | w1) = log((c2(w1,w2) + k) / (c1(w1) + k*V))
+
+    with c2=0 / c1=0 for pairs or contexts unseen in training. Docs
+    explode to bigram rows, LEFT-join the two broadcast count tables
+    (vocabulary-sized), aggregate mean — the corpus shuffles once on
+    the groupBy, counts never shuffle."""
+    pairs = docs.select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
+    ).select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("tk", 1, F.greatest(F.size("tk") - 1, F.lit(0))),
+                F.slice("tk", 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    j = (
+        pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1")), ["w1"], "left")
+        .withColumn(
+            "lp",
+            F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)))
+                / (
+                    F.coalesce(F.col("c1"), F.lit(0))
+                    + F.lit(float(k) * vocab_size)
+                )
+            ),
+        )
+    )
+    return j.groupBy("id").agg(
+        F.avg("lp").alias("mean_logprob"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    ).select(F.col("id").alias(id_col), "mean_logprob", "n_bigrams")

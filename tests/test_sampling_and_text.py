@@ -273,3 +273,73 @@ class TestDecontamWindowSize:
         hit8 = {r.doc_id for r in contaminated_ids(docs, blk, n=8).collect()}
         assert hit13 == {1}
         assert hit8 >= {1, 2} and 3 not in hit8
+
+
+class TestBigramLmScoring:
+    def test_logprob_matches_pure_python_oracle(self, spark):
+        """Smoothed bigram log-prob vs an independent dict-based
+        oracle on a small corpus — exact to float tolerance."""
+        import math
+        from collections import Counter
+
+        from streetview_naturevisibility_spark.operators.textops import (
+            score_bigram_logprob,
+            train_bigram_lm,
+        )
+
+        train = [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "a cat and a dog",
+        ]
+        corpus = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(train)], "doc_id: long, text: string"
+        )
+        uni, bi, v = train_bigram_lm(corpus)
+        # oracle
+        c1, c2 = Counter(), Counter()
+        for t in train:
+            ws = t.split(" ")
+            c1.update(ws)
+            c2.update(zip(ws, ws[1:]))
+        assert v == len(c1)
+
+        docs = [
+            (10, "the cat sat"),          # in-domain
+            (11, "zebra quantum flux"),   # fully out-of-domain
+            (12, "the dog"),              # single bigram
+        ]
+        got = {
+            r.doc_id: r
+            for r in score_bigram_logprob(
+                spark.createDataFrame(docs, "doc_id: long, text: string"),
+                uni, bi, v,
+            ).collect()
+        }
+        for did, text in docs:
+            ws = text.split(" ")
+            lps = [
+                math.log((c2.get((a, b), 0) + 1.0) / (c1.get(a, 0) + 1.0 * v))
+                for a, b in zip(ws, ws[1:])
+            ]
+            assert got[did].n_bigrams == len(lps)
+            assert abs(got[did].mean_logprob - sum(lps) / len(lps)) < 1e-12
+        # the in-domain doc must outscore the out-of-domain one
+        assert got[10].mean_logprob > got[11].mean_logprob
+
+    def test_plan_broadcasts_model_tables(self, spark):
+        from streetview_naturevisibility_spark.operators.textops import (
+            score_bigram_logprob,
+            train_bigram_lm,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, "a b c a b")], "doc_id: long, text: string"
+        )
+        uni, bi, v = train_bigram_lm(corpus)
+        plan = (
+            score_bigram_logprob(corpus, uni, bi, v)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
