@@ -267,6 +267,21 @@ def cmd_curate(args: argparse.Namespace) -> None:
 
     scored = analyze_documents(docs, keep_input_cols=True)
     kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))
+
+    if getattr(args, "lm_ref", None):
+        # CCNet-style in-domain filter: bigram LM trained on the
+        # reference corpus; docs below --min-logprob (or unscorable
+        # single-token docs, which keep a NULL score) are dropped
+        from .operators.textops import score_bigram_logprob, train_bigram_lm
+
+        ref = spark.read.parquet(args.lm_ref)
+        uni, bi, v = train_bigram_lm(ref)
+        lp = score_bigram_logprob(kept_q, uni, bi, v)
+        kept_q = kept_q.join(lp.select("doc_id", "mean_logprob"), "doc_id", "left")
+        kept_q = kept_q.where(
+            F.col("mean_logprob") >= F.lit(args.min_logprob)
+        ).drop("mean_logprob")
+
     n_quality = kept_q.count()
 
     # exact dedup: keep the min doc_id per content digest (shuffle on
@@ -389,6 +404,13 @@ def main() -> None:
         "n-gram with it are dropped before the funnel (decontamination)",
     )
     pc.add_argument("--decontam-n", type=int, default=13)
+    pc.add_argument(
+        "--lm-ref",
+        default=None,
+        help="parquet of in-domain reference docs (column `text`): train a "
+        "bigram LM on it and drop docs below --min-logprob",
+    )
+    pc.add_argument("--min-logprob", type=float, default=-12.0)
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

@@ -457,7 +457,11 @@ def score_bigram_logprob(
     with c2=0 / c1=0 for pairs or contexts unseen in training. Docs
     explode to bigram rows, LEFT-join the two broadcast count tables
     (vocabulary-sized), aggregate mean — the corpus shuffles once on
-    the groupBy, counts never shuffle."""
+    the groupBy, counts never shuffle.
+
+    Docs with fewer than 2 tokens have no bigrams and are ABSENT from
+    the output (callers left-join and decide a default — an unscorable
+    doc is not a bad doc)."""
     pairs = docs.select(
         F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("tk")
     ).select(
