@@ -169,7 +169,12 @@ def synthetic_docs(spark: SparkSession, n: int, partitions: int):
     """Deterministic distributed corpus (shared with BENCH/
     corpus_scale.py): ~40 hash-derived tokens per doc; doc_id % 100 ==
     1 repeats the predecessor's token stream plus one extra token (a
-    planted near-duplicate at Jaccard ~0.95)."""
+    planted near-duplicate at Jaccard ~0.95); doc_id % 100 >= 95 is
+    planted LOW-QUALITY junk (16-char all-digit tokens: mean token
+    length > 12 and alpha_ratio 0 -> quality_score 0.1 < the funnel's
+    0.3 cut) so the quality stage has a real ~5% selectivity at bench
+    scale. Junk tokens stay hash-distinct per doc — no exact-dup
+    collapse, no shared shingles, no LSH mega-bucket."""
     base = F.col("id") - (F.col("id") % 100 == 1).cast("long")
     words = F.transform(
         F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
@@ -178,7 +183,19 @@ def synthetic_docs(spark: SparkSession, n: int, partitions: int):
             F.pmod(F.xxhash64(base * F.lit(41) + i), F.lit(VOCAB)).cast("string"),
         ),
     )
+    junk_words = F.transform(
+        F.sequence(F.lit(1), F.lit(WORDS_PER_DOC)),
+        lambda i: F.lpad(
+            F.pmod(
+                F.xxhash64(F.col("id") * F.lit(43) + i), F.lit(10**12)
+            ).cast("string"),
+            16,
+            "0",
+        ),
+    )
     text = F.when(
+        F.col("id") % 100 >= 95, F.array_join(junk_words, " ")
+    ).when(
         F.col("id") % 100 == 1,
         F.concat(F.array_join(words, " "), F.lit(" extra")),
     ).otherwise(F.array_join(words, " "))

@@ -128,6 +128,24 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     ndvi = zonal_mean(points, grid, radius=args.distance / 2.0)
     feats = gvi.join(ndvi, "point_id", "left").withColumnRenamed("mean_ndvi", "ndvi")
     known_feats = feats.where(F.col("ndvi").isNotNull())
+    # Collect the CV metrics row BEFORE choosing/fitting a model: the
+    # GAM path fits eagerly on the driver (toPandas + np.quantile), so
+    # a zero-known input (e.g. the NDVI raster does not overlap the
+    # study area at all) must be caught here, not after the fit
+    # crashes on an empty array.
+    m = gap_fill_cv_metrics(known_feats, feature="ndvi", target="gvi").collect()[0]
+    if not m.n_known:
+        # nothing to fit — write an empty (schema-stable) gvi_filled,
+        # report and stop instead of crashing on None comparisons
+        known_feats.withColumn(
+            "gvi_filled", F.lit(None).cast("double")
+        ).write.mode("overwrite").parquet(os.path.join(args.results, "gvi_filled"))
+        print(
+            "WARNING: no points with NDVI values — check that the NDVI "
+            "raster covers the study area; gvi_filled is empty (points "
+            "without an NDVI feature cannot be predicted)"
+        )
+        return
     # --model selects the filler (the reference evaluates both and its
     # README picks the GAM on its data; linear stays the default for
     # protocol continuity with rounds 1-3)
@@ -142,17 +160,6 @@ def cmd_gap_fill(args: argparse.Namespace) -> None:
     )
     # the reference's model-selection printout
     # (predict_missing_gvi.py:81-85: cv=5 R2 / RMSE / AIC)
-    m = gap_fill_cv_metrics(known_feats, feature="ndvi", target="gvi").collect()[0]
-    if not m.n_known:
-        # zero known rows (e.g. the NDVI raster does not overlap the
-        # study area at all): nothing to fit — report and stop instead
-        # of crashing on None comparisons
-        print(
-            "WARNING: no points with NDVI values — check that the NDVI "
-            "raster covers the study area; gvi_filled is empty (points "
-            "without an NDVI feature cannot be predicted)"
-        )
-        return
     if m.n_known < 5 or m.avg_rmse is None or m.avg_r2 is None:
         print(
             f"WARNING: CV metrics degenerate (n_known={m.n_known}; "
@@ -270,16 +277,25 @@ def cmd_curate(args: argparse.Namespace) -> None:
 
     if getattr(args, "lm_ref", None):
         # CCNet-style in-domain filter: bigram LM trained on the
-        # reference corpus; docs below --min-logprob (or unscorable
-        # single-token docs, which keep a NULL score) are dropped
+        # reference corpus; docs below --min-logprob are dropped.
+        # Docs with NO score (fewer than 2 tokens -> NULL mean_logprob)
+        # are KEPT, per score_bigram_logprob's contract: an unscorable
+        # doc is not a bad doc — the quality filter already judged it.
         from .operators.textops import score_bigram_logprob, train_bigram_lm
 
         ref = spark.read.parquet(args.lm_ref)
         uni, bi, v = train_bigram_lm(ref)
         lp = score_bigram_logprob(kept_q, uni, bi, v)
         kept_q = kept_q.join(lp.select("doc_id", "mean_logprob"), "doc_id", "left")
+        n_unscorable = kept_q.where(F.col("mean_logprob").isNull()).count()
+        if n_unscorable:
+            print(
+                f"[lm] kept {n_unscorable} unscorable docs "
+                "(<2 tokens, no LM score — not dropped)"
+            )
         kept_q = kept_q.where(
-            F.col("mean_logprob") >= F.lit(args.min_logprob)
+            F.col("mean_logprob").isNull()
+            | (F.col("mean_logprob") >= F.lit(args.min_logprob))
         ).drop("mean_logprob")
 
     n_quality = kept_q.count()
@@ -408,7 +424,8 @@ def main() -> None:
         "--lm-ref",
         default=None,
         help="parquet of in-domain reference docs (column `text`): train a "
-        "bigram LM on it and drop docs below --min-logprob",
+        "bigram LM on it and drop docs below --min-logprob; docs too short "
+        "to score (<2 tokens) are kept and counted, not dropped",
     )
     pc.add_argument("--min-logprob", type=float, default=-12.0)
     pc.set_defaults(fn=cmd_curate)

@@ -27,6 +27,7 @@ Design rules for 100 TB of media:
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -613,11 +614,15 @@ def video_frame_features(media: DataFrame, every_ms: int = 1000) -> DataFrame:
                         if fb.startswith(b"\xff\xd8"):
                             try:
                                 grid = decode_image(fb, 0, 0)
-                            except ValueError:
+                            except (ValueError, IndexError, struct.error):
                                 # SOI signature but not baseline-
                                 # decodable (progressive/12-bit/
-                                # corrupt): the documented fake, not a
-                                # failed task
+                                # corrupt/truncated): the documented
+                                # fake, not a failed task. The from-
+                                # scratch codec does raw byte indexing,
+                                # so a truncated payload can surface as
+                                # IndexError/struct.error rather than
+                                # ValueError.
                                 grid = None
                         if grid is not None:
                             emit(mid, idx, float(t), "mjpeg", grid)

@@ -412,11 +412,14 @@ def exact_dedup_normalized(
 # ------------------------------------------------------------------
 def train_bigram_lm(
     corpus: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame, int]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """-> (unigram counts (w, c1), bigram counts (w1, w2, c2), vocab
-    size V). Pure explode + groupBy counts — the model tables are
-    vocabulary-sized (small next to any corpus) and broadcast at
-    scoring time."""
+    size as a LAZY 1-row frame (V)). Pure explode + groupBy counts —
+    the model tables are vocabulary-sized (small next to any corpus)
+    and broadcast at scoring time. Nothing here fires a job: V is a
+    1-row aggregate that ``score_bigram_logprob`` broadcast-crossJoins
+    into the scoring plan (the highway_rollup pattern), so training is
+    declared, not executed, until the scored frame is acted on."""
     toks = corpus.select(F.split(F.col(text_col), " ").alias("tk"))
     uni = (
         toks.select(F.explode("tk").alias("w"))
@@ -436,7 +439,7 @@ def train_bigram_lm(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
     )
-    v = uni.count()
+    v = uni.agg(F.count(F.lit(1)).alias("_V"))
     return uni, bi, v
 
 
@@ -444,7 +447,7 @@ def score_bigram_logprob(
     docs: DataFrame,
     uni: DataFrame,
     bi: DataFrame,
-    vocab_size: int,
+    vocab_size: DataFrame | int,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 1.0,
@@ -458,6 +461,10 @@ def score_bigram_logprob(
     explode to bigram rows, LEFT-join the two broadcast count tables
     (vocabulary-sized), aggregate mean — the corpus shuffles once on
     the groupBy, counts never shuffle.
+
+    ``vocab_size`` is either the lazy 1-row frame ``train_bigram_lm``
+    returns (broadcast-crossJoined so the whole train+score pipeline
+    stays one unexecuted plan) or a precomputed int.
 
     Docs with fewer than 2 tokens have no bigrams and are ABSENT from
     the output (callers left-join and decide a default — an unscorable
@@ -473,6 +480,15 @@ def score_bigram_logprob(
             )
         ).alias("p"),
     ).select("id", F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    if isinstance(vocab_size, DataFrame):
+        # lazy V: a broadcast 1-row crossJoin keeps train+score a
+        # single unexecuted plan (no driver-side count at build time)
+        pairs = pairs.crossJoin(F.broadcast(vocab_size))
+        v_col = F.col("_V").cast("double")
+        drop_v = ["_V"]
+    else:
+        v_col = F.lit(float(vocab_size))
+        drop_v = []
     j = (
         pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
         .join(F.broadcast(uni.withColumnRenamed("w", "w1")), ["w1"], "left")
@@ -482,10 +498,11 @@ def score_bigram_logprob(
                 (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(float(k)))
                 / (
                     F.coalesce(F.col("c1"), F.lit(0))
-                    + F.lit(float(k) * vocab_size)
+                    + F.lit(float(k)) * v_col
                 )
             ),
         )
+        .drop(*drop_v)
     )
     return j.groupBy("id").agg(
         F.avg("lp").alias("mean_logprob"),

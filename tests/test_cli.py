@@ -101,12 +101,15 @@ class TestCli:
         assert len(filled) > 0 and filled["gvi_filled"].notna().any()
 
 
+    @pytest.mark.parametrize("model", ["linear", "gam"])
     def test_gap_fill_disjoint_raster_warns_not_crashes(
-        self, spark, fixture_dir, outdir, tmp_path, capsys
+        self, spark, fixture_dir, outdir, tmp_path, capsys, model
     ):
         """An NDVI raster that does not overlap the study area at all:
         clean warning + empty output, not a TypeError on None metrics
-        (found by the stac-ndvi -> gap-fill integration drive)."""
+        (found by the stac-ndvi -> gap-fill integration drive). The gam
+        variant guards the eager driver fit: n_known==0 must be caught
+        BEFORE gap_fill_gam's toPandas/np.quantile sees an empty array."""
         import pandas as pd
 
         far = str(tmp_path / "far_grid.parquet")
@@ -120,7 +123,7 @@ class TestCli:
             }
         ).to_parquet(far, index=False)
         cli.cmd_gap_fill(
-            _ns(results=outdir, ndvi_grid=far, distance=100.0, model="linear")
+            _ns(results=outdir, ndvi_grid=far, distance=100.0, model=model)
         )
         text = capsys.readouterr().out
         assert "WARNING: no points with NDVI values" in text
@@ -165,6 +168,46 @@ class TestCurate:
             cur.groupBy(F.md5("text")).count().where("count > 1").count() == 0
         )
         assert "weight" in cur.columns
+
+    def test_lm_filter_keeps_unscorable_short_docs(self, spark, tmp_path, capsys):
+        """--lm-ref must KEEP docs too short to score (<2 tokens, NULL
+        mean_logprob) per score_bigram_logprob's contract, and print
+        the kept-unscorable count — not silently drop them (review
+        finding). min_logprob=0 makes every SCORED doc fail (log-probs
+        are always negative), so only the single-token doc survives."""
+        import pandas as pd
+
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "hello",  # 1 token -> no bigrams -> unscorable
+                    "the quick brown fox jumps over the lazy dog today",
+                    "a completely different sentence about spark engines",
+                ],
+                "lang": ["en", "en", "en"],
+                "source": ["t", "t", "t"],
+                "n_chars": [5, 49, 51],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.5,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            lm_ref=docs,
+            min_logprob=0.0,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[lm] kept 1 unscorable docs" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        assert [r.doc_id for r in cur.collect()] == [1]
 
 
 class TestLayout:

@@ -508,6 +508,31 @@ class TestMjpegVideoDecode:
         out = mm.video_frame_features(media, every_ms=1000).toPandas()
         assert len(out) == 1 and (out["codec"] == "fake").all()
 
+    def test_truncated_jpeg_frame_falls_back_to_fake(self, spark):
+        """A baseline JPEG frame truncated mid-scan (ending in a bare
+        0xFF after the fill-byte skip) must also take the fake path —
+        the from-scratch codec does raw byte indexing, so malformed
+        streams can surface as IndexError/struct.error and the
+        dispatch site must treat them like ValueError (review
+        finding)."""
+        from streetview_naturevisibility_spark.functions.mp4box import (
+            encode_mp4,
+            extract_frames,
+        )
+
+        good = mm.synth_mp4(4)
+        fb = extract_frames(good, 1000)[0][1]
+        trunc = fb[: len(fb) // 2]
+        if not trunc.endswith(b"\xff"):
+            trunc += b"\xff"
+        payload = encode_mp4([trunc, trunc], sample_dur_ms=500)
+        media = spark.createDataFrame(
+            [(3, "video", bytearray(payload), "video/mp4", None, None, 1000)],
+            mm.MEDIA_SCHEMA,
+        )
+        out = mm.video_frame_features(media, every_ms=1000).toPandas()
+        assert len(out) == 1 and (out["codec"] == "fake").all()
+
     def test_null_duration_non_container_payload(self, spark):
         """NULL duration_ms + non-MP4 payload: one fake frame, no
         NaN-to-int crash (review finding)."""

@@ -302,6 +302,7 @@ class TestBigramLmScoring:
             ws = t.split(" ")
             c1.update(ws)
             c2.update(zip(ws, ws[1:]))
+        v = int(v.collect()[0][0])  # lazy 1-row V frame
         assert v == len(c1)
 
         docs = [
@@ -343,3 +344,49 @@ class TestBigramLmScoring:
         )
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan
+
+    def test_int_vocab_size_still_accepted(self, spark):
+        """Precomputed-int V gives bit-identical scores to the lazy
+        1-row-frame V."""
+        from streetview_naturevisibility_spark.operators.textops import (
+            score_bigram_logprob,
+            train_bigram_lm,
+        )
+
+        corpus = spark.createDataFrame(
+            [(0, "a b c a b"), (1, "b c d")], "doc_id: long, text: string"
+        )
+        uni, bi, v = train_bigram_lm(corpus)
+        lazy = score_bigram_logprob(corpus, uni, bi, v).orderBy("doc_id").collect()
+        eager = (
+            score_bigram_logprob(corpus, uni, bi, int(v.collect()[0][0]))
+            .orderBy("doc_id")
+            .collect()
+        )
+        assert lazy == eager
+
+    def test_train_and_score_fire_no_job_until_action(self, spark):
+        """train_bigram_lm + score_bigram_logprob must be a single
+        unexecuted plan: no Spark job may run at build time (the round-4
+        version eagerly counted the vocabulary). Verified via job-group
+        bookkeeping: the group is empty after building, non-empty only
+        after an action."""
+        from streetview_naturevisibility_spark.operators.textops import (
+            score_bigram_logprob,
+            train_bigram_lm,
+        )
+
+        sc = spark.sparkContext
+        group = "lm-laziness-probe"
+        sc.setJobGroup(group, "build-only")
+        try:
+            corpus = spark.createDataFrame(
+                [(0, "a b c a b"), (1, "b c d e")], "doc_id: long, text: string"
+            )
+            uni, bi, v = train_bigram_lm(corpus)
+            scored = score_bigram_logprob(corpus, uni, bi, v)
+            assert sc.statusTracker().getJobIdsForGroup(group) == []
+            assert scored.count() == 2
+            assert sc.statusTracker().getJobIdsForGroup(group) != []
+        finally:
+            sc.setJobGroup("", "")
