@@ -209,7 +209,7 @@ def synthetic_docs(spark: SparkSession, n: int, partitions: int):
 
 
 def bench_curate_funnel(
-    spark: SparkSession, n_docs: int, cpus: int, persist_exact: bool = False
+    spark: SparkSession, n_docs: int, cpus: int, persist: str = "none"
 ) -> tuple[float, dict[str, int]]:
     """The LLM-training-data curate funnel end-to-end (the same
     composition as `cli curate`): quality score -> exact dedup ->
@@ -245,7 +245,7 @@ def bench_curate_funnel(
     digests = kept_q.withColumn("_digest", F.md5(F.col("text")))
     keepers = digests.groupBy("_digest").agg(F.min("doc_id").alias("doc_id"))
     exact = digests.join(keepers, ["_digest", "doc_id"], "left_semi").drop("_digest")
-    # persist_exact=False is the MEASURED default: the survivor frame
+    # persist="none" is the MEASURED default: the survivor frame
     # feeds four consumers (LSH, pair join-back, keep-canonical
     # anti-join, sampler) and caching it looks like an obvious win —
     # but an interleaved A/B at 200k docs ran persist [344, 75] s vs
@@ -255,11 +255,17 @@ def bench_curate_funnel(
     # prunes each consumer down to (doc_id, text, lang) and never
     # computes the unused columns at all. Recompute-with-pruning beats
     # cache-without-pruning here; at 100 TB checkpoint a PRUNED
-    # projection to parquet instead.
-    if persist_exact:
+    # projection to parquet instead. persist="pruned" caches only the
+    # (doc_id, text, lang) projection the consumers actually read —
+    # the A/B switch BENCH/funnel_repeats.py measures.
+    if persist in ("full", "pruned"):
         from pyspark import StorageLevel
 
+        if persist == "pruned":
+            exact = exact.select("doc_id", "text", "lang")
         exact = exact.persist(StorageLevel.MEMORY_AND_DISK)
+    elif persist != "none":
+        raise ValueError(f"persist must be none|full|pruned, got {persist!r}")
     counts["exact"] = exact.count()
     pairs, metrics = minhash_lsh_pairs(
         exact, jaccard_threshold=0.5, max_bucket=100_000, return_metrics=True
@@ -275,7 +281,7 @@ def bench_curate_funnel(
     )
     counts["sampled"] = sampled.count()
     dt = time.time() - t0
-    if persist_exact:
+    if persist in ("full", "pruned"):
         exact.unpersist()
     shutil.rmtree(stage_root, ignore_errors=True)
     return dt, counts

@@ -335,3 +335,69 @@ def oracle_isochrone_cells(pois, nodes, edges, buffer_dist, edge_buff, grid):
         }
         out[poi_id] = filled
     return out
+
+
+# ------------------------------------------------------------------
+# DuckDB SQL twins for the two plain-SQL-expressible curation ops that
+# have no driver contract slot (the driver caps the contract at 50
+# rows): the SQL twin lives HERE and is exercised by pytest instead.
+# Both compare SEMANTICS (shingle strings / regex hits), not the
+# engine's internal xxhash64 representation.
+# ------------------------------------------------------------------
+def duckdb_decontaminate(
+    docs: pd.DataFrame, blocklist: pd.DataFrame, n: int = 13
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.decontaminate: drop every doc
+    sharing ANY token n-gram with the blocklist. Shingle semantics
+    mirror dedup.shingles_col exactly: tokens = split on single space,
+    window clamp ``greatest(len - n + 1, 1)`` (a doc shorter than n
+    tokens contributes its whole text as one shingle), distinct
+    shingles, NULL text -> no shingles -> kept."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    con.register("blocklist", blocklist)
+    w = n - 1
+    shingles = (
+        "unnest(list_distinct([array_to_string(t[i:i+{w}], ' ') "
+        "FOR i IN generate_series(1, greatest(len(t)-{w}, 1))])) AS sh"
+    ).format(w=w)
+    out = con.sql(
+        f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        b AS (SELECT string_split(text, ' ') AS t FROM blocklist),
+        dsh AS (SELECT doc_id, {shingles} FROM d),
+        bsh AS (SELECT DISTINCT {shingles} FROM b),
+        bad AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (sh))
+        SELECT * FROM docs
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    return out
+
+
+def duckdb_redact_pii(docs: pd.DataFrame, patterns) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.redact_pii: per-pattern hit
+    counts from the ORIGINAL text + sequential regexp_replace in
+    pattern order. ``patterns`` is textops._PII_PATTERNS
+    ((name, regex, token) triples) so the twin can never drift from
+    the engine's pattern set."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    counts = []
+    red = "text"
+    for name, pat, token in patterns:
+        p = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all(text, '{p}')) AS n_{name}")
+        red = f"regexp_replace({red}, '{p}', '{token}', 'g')"
+    out = con.sql(
+        f"SELECT doc_id, text, {', '.join(counts)}, {red} AS text_redacted "
+        "FROM docs ORDER BY doc_id"
+    ).df()
+    con.close()
+    return out

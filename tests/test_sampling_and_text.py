@@ -172,6 +172,54 @@ class TestDecontamination:
         )
         assert contaminated_ids(docs, blk).count() == 0
 
+    def test_duckdb_sql_twin_agrees(self, spark):
+        """SQL-twin oracle (tests/oracle.duckdb_decontaminate): the
+        engine's hash-based decontamination must keep exactly the doc
+        set a string-shingle ANSI-SQL re-statement keeps — over the
+        planted corpus AND a wider deterministic one (varying doc
+        lengths incl. shorter-than-n and null text). Stands in for a
+        driver contract row (50-row cap)."""
+        import pandas as pd
+
+        from streetview_naturevisibility_spark.operators.textops import decontaminate
+        from tests.oracle import duckdb_decontaminate
+
+        docs, blk = self._corpus(spark)
+        for method in ("join", "broadcast"):
+            got = sorted(
+                r.doc_id for r in decontaminate(docs, blk, method=method).collect()
+            )
+            want = duckdb_decontaminate(
+                docs.toPandas(), blk.toPandas().rename(columns={"bid": "doc_id"})
+            )
+            assert got == sorted(want["doc_id"].tolist())
+
+        # wider corpus: 120 docs, tokens from a small alphabet so real
+        # overlaps occur; blocklist = 5 of the docs verbatim
+        rows = []
+        for i in range(120):
+            if i % 17 == 0:
+                rows.append((i, None))
+            else:
+                ln = 5 + (i * 7) % 25
+                rows.append(
+                    (i, " ".join(f"t{(i * 31 + j * 13) % 40}" for j in range(ln)))
+                )
+        wdocs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        wblk = spark.createDataFrame(
+            [(j, rows[j * 20 + 3][1]) for j in range(5)], "bid: long, text: string"
+        )
+        got = sorted(
+            r.doc_id
+            for r in decontaminate(wdocs, wblk, n=8).collect()
+        )
+        want = duckdb_decontaminate(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            wblk.toPandas().rename(columns={"bid": "doc_id"}),
+            n=8,
+        )
+        assert got == sorted(want["doc_id"].tolist())
+
 
 class TestPiiRedaction:
     def test_patterns_replaced_and_counted(self, spark):
@@ -214,6 +262,47 @@ class TestPiiRedaction:
         docs = spark.createDataFrame([(1, "a@b.co x")], "doc_id: long, text: string")
         plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_duckdb_sql_twin_agrees(self, spark):
+        """SQL-twin oracle (tests/oracle.duckdb_redact_pii): Java-regex
+        redaction (counts AND redacted text) must match an RE2-based
+        ANSI-SQL re-statement of the SAME pattern table on a corpus
+        mixing every pattern, overlap-after-substitution shapes, and
+        clean prose. Stands in for a driver contract row (50-row
+        cap)."""
+        from streetview_naturevisibility_spark.operators.textops import (
+            _PII_PATTERNS,
+            redact_pii,
+        )
+        from tests.oracle import duckdb_redact_pii
+
+        rows = [
+            (1, "mail jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "no pii here at all"),
+            (4, "a@b.co b@c.io twice and 555-123-4567 then (555) 123-4567"),
+            (5, "id 5551234567 stays; dotted 555.123.4567 goes; v6 ::1 stays"),
+            (6, "edge 999.999.999.999 still matches the narrow ipv4 shape"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = (
+            redact_pii(docs)
+            .select(
+                "doc_id", "text", "n_email", "n_phone", "n_ipv4", "text_redacted"
+            )
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        import pandas as pd
+
+        want = duckdb_redact_pii(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), _PII_PATTERNS
+        )
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True),
+            want.reset_index(drop=True),
+            check_dtype=False,
+        )
 
 
 class TestNormalizedDedup:

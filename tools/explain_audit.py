@@ -255,6 +255,35 @@ def main() -> None:
 
     shutil.rmtree(_ztmp, ignore_errors=True)
 
+    # 10. bigram-LM train+score: ONE unexecuted plan — the vocabulary
+    # size rides in as a broadcast 1-row aggregate (no eager count on
+    # the driver), both count tables broadcast-hash-join, corpus never
+    # sort-merge-joins, all expressions JVM-side
+    from streetview_naturevisibility_spark.operators.textops import (
+        score_bigram_logprob,
+        train_bigram_lm,
+    )
+
+    docs10 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    uni, bi, v = train_bigram_lm(docs10)
+    lm = score_bigram_logprob(docs10, uni, bi, v)
+    p10 = plan_of(lm)
+    ok10, n10 = check(
+        "bigram lm",
+        p10,
+        must=["BroadcastHashJoin"],
+        must_not=["SortMergeJoin", "ArrowEvalPython", "BatchEvalPython"],
+    )
+    sections.append(
+        (
+            "Bigram-LM scoring: lazy broadcast V + broadcast count tables, no shuffle joins",
+            lm,
+            p10,
+            ok10,
+            n10,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
