@@ -1100,18 +1100,31 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary (general OLAP capability)."""
+    """TPC-H Q1-style pricing summary (general OLAP capability).
+
+    Money columns are 2-decimal values stored as doubles; aggregating them
+    as doubles is summation-order-dependent (the sf1 drive measured ~2e-4
+    divergence vs DuckDB on ~6M-row group sums). Casting each input to
+    DECIMAL first recovers the exact cents, makes every sum exact and
+    order-independent at any scale, and the final cast back to double keeps
+    the contract schema unchanged.
+    """
     li = load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(12,2)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc))
+            .cast("double")
+            .alias("sum_disc_price"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.sum(disc).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -1121,14 +1134,16 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     li = load(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.col("l_discount").cast("decimal(4,2)")
     rev = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
-            ).alias("revenue")
+            F.sum(price * (F.lit(1).cast("decimal(3,2)") - disc))
+            .cast("double")
+            .alias("revenue")
         )
     )
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
@@ -1485,16 +1500,20 @@ SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sess_id""",
         "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
-            "round(sum(l_extendedprice), 4) AS sum_base_price, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price, "
-            "round(avg(l_discount), 6) AS avg_disc, count(*) AS count_order "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price, "
+            "CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "         * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price, "
+            "round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*), 6) AS avg_disc, "
+            "count(*) AS count_order "
             "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
             "GROUP BY l_returnflag, l_linestatus"
         ),
         "top_customers": (
             "SELECT c.c_custkey, c.c_name, "
-            "round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue "
+            "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) "
+            "         * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue "
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_custkey, c.c_name ORDER BY revenue DESC, c.c_custkey LIMIT 10"
