@@ -153,8 +153,12 @@ def _unfilter_row(
 ) -> np.ndarray:
     """Undo one PNG scanline filter (shared by decode_png and
     decode_png_channels). Sub is a per-bpp-lane cumulative sum (mod
-    distributes over +); Average/Paeth loop per PIXEL, vectorized
-    across the bpp channel lanes (w iterations, not w*bpp)."""
+    distributes over +). Average/Paeth carry a true sequential
+    left-dependence (each pixel needs the RECONSTRUCTED left pixel, and
+    the floor-divide / predictor-select are non-linear, so no prefix
+    trick applies); they run as a flat Python-int loop over lists —
+    ~0.1 us/byte — instead of per-pixel NumPy small-array ops whose
+    ~us/call dispatch overhead dominated (measured 15-30x slower)."""
     if f == 0:  # None
         rec = cur
     elif f == 2:  # Up
@@ -166,22 +170,30 @@ def _unfilter_row(
             .astype(np.int32)
         )
     elif f in (3, 4):  # Average / Paeth: sequential left-dependence
-        cur2 = cur.reshape(-1, bpp)
-        up2 = up.reshape(-1, bpp)
-        rec2 = np.zeros_like(cur2)
-        zero = np.zeros(bpp, dtype=np.int32)
-        for i in range(cur2.shape[0]):
-            a = rec2[i - 1] if i > 0 else zero  # left pixel
-            b = up2[i]
-            c = up2[i - 1] if i > 0 else zero  # up-left
-            if f == 3:
-                pred = (a + b) // 2
-            else:
+        cur_l = cur.tolist()
+        up_l = up.tolist()
+        rec_l = [0] * stride
+        if f == 3:
+            for j in range(stride):
+                a = rec_l[j - bpp] if j >= bpp else 0  # reconstructed left
+                rec_l[j] = (cur_l[j] + ((a + up_l[j]) >> 1)) & 0xFF
+        else:
+            for j in range(stride):
+                a = rec_l[j - bpp] if j >= bpp else 0  # left
+                b = up_l[j]  # up
+                c = up_l[j - bpp] if j >= bpp else 0  # up-left
                 p = a + b - c
-                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
-            rec2[i] = (cur2[i] + pred) & 0xFF
-        rec = rec2.reshape(stride)
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                rec_l[j] = (cur_l[j] + pred) & 0xFF
+        rec = np.asarray(rec_l, dtype=np.int32)
     else:
         raise ValueError(f"bad PNG filter {f}")
     return rec.astype(np.uint8)
