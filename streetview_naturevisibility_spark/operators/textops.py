@@ -508,3 +508,237 @@ def score_bigram_logprob(
         F.avg("lp").alias("mean_logprob"),
         F.count(F.lit(1)).alias("n_bigrams"),
     ).select(F.col("id").alias(id_col), "mean_logprob", "n_bigrams")
+
+
+# ------------------------------------------------------------------
+# Repetition quality signals (Gopher/MassiveText-style) and corpus-
+# level paragraph dedup (RefinedWeb-style). Engine addendum — the
+# reference has no corpus-curation layer; these are the two standard
+# stages between heuristic quality filtering and document-level dedup
+# in published web-text pipelines.
+# ------------------------------------------------------------------
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+) -> DataFrame:
+    """Per-doc repetition features (the Gopher repetition-filter axes):
+
+    - ``dup_line_frac``      = (n_lines - n_distinct_lines) / n_lines
+    - ``dup_line_char_frac`` = chars in duplicate line INSTANCES
+      (occurrences beyond each line's first) / total line chars
+    - ``top{n}gram_char_frac`` for n in ``top_ns`` = max over token
+      n-grams occurring >= 2 times of count*len(gram) / doc chars
+      (0.0 when nothing repeats — a single occurrence is not
+      repetition).
+
+    Physical shape: the line features are pure per-row column algebra
+    (codegen HOFs, no shuffle; the duplicate-char sum is O(L^2) in a
+    doc's distinct LINES, bounded per row, never cross-row). The
+    n-gram features explode each doc ONCE for all requested n's into
+    (id, n, gram) rows -> one count shuffle + one per-doc max shuffle,
+    then join back to the line frame on id. At 100 TB each shuffle
+    key is (doc, gram) / doc — no corpus-wide hot key; skew equals
+    the largest single document, same bound as every per-doc agg."""
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    dup_line_frac = (n_lines - F.size(F.array_distinct(lines))).cast(
+        "double"
+    ) / n_lines
+    line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    dup_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc
+        + (
+            (F.size(F.filter(lines, lambda x: x == l)) - 1) * F.length(l)
+        ).cast("long"),
+    )
+    line_feats = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_n_chars"),
+        n_lines.alias("n_lines"),
+        dup_line_frac.alias("dup_line_frac"),
+        F.when(line_chars > 0, dup_chars.cast("double") / line_chars)
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_char_frac"),
+    )
+
+    tk = F.split(F.col(text_col), " ")
+
+    def _grams(n: int):
+        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+        mk = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", F.slice(tk, i, n)).alias("g"),
+            ),
+        )
+        # sequence(1, stop) DESCENDS when stop < 1 — guard short docs
+        # with a typed empty array instead
+        return F.when(F.size(tk) >= n, mk).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).alias("n_chars"),
+        F.explode(F.flatten(F.array(*[_grams(n) for n in top_ns]))).alias("s"),
+    ).select("id", "n_chars", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+    cov = (
+        exploded.groupBy("id", "n_chars", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= 2)
+        .groupBy("id", "n_chars")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("n") == n, F.col("cnt") * F.length("g"))
+                ).alias(f"_cov{n}")
+                for n in top_ns
+            ]
+        )
+    )
+    out = line_feats.join(
+        cov.select(
+            F.col("id").alias(id_col),
+            "n_chars",
+            *[f"_cov{n}" for n in top_ns],
+        ),
+        [id_col],
+        "left",
+    )
+    for n in top_ns:
+        out = out.withColumn(
+            f"top{n}gram_char_frac",
+            F.when(
+                F.col("_n_chars") > 0,
+                F.coalesce(F.col(f"_cov{n}").cast("double"), F.lit(0.0))
+                / F.col("_n_chars"),
+            ).otherwise(F.lit(0.0)),
+        )
+    return out.drop("n_chars", "_n_chars", *[f"_cov{n}" for n in top_ns])
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    max_docs: int = 1,
+    min_chars: int = 0,
+) -> DataFrame:
+    """Corpus-level exact paragraph dedup (RefinedWeb-style boilerplate
+    removal): every paragraph (split on ``sep``) appearing in MORE than
+    ``max_docs`` distinct documents is removed from every document; the
+    survivors are re-joined in original order. Paragraphs shorter than
+    ``min_chars`` are never removed (protect headings when desired).
+
+    -> (id_col, text_deduped, n_paras, n_removed) — one row per input
+    doc, including docs whose every paragraph was boilerplate
+    (text_deduped = '').
+
+    Physical shape: posexplode -> the common-paragraph set is a
+    groupBy on md5(paragraph) counting DISTINCT docs (the 128-bit
+    digest is the shuffle key, so long paragraphs never shuffle twice;
+    same digest-as-key contract as dedup.exact_dedup) -> left-anti
+    join paragraphs against it (AQE broadcasts the usually-small
+    common set; unforced, so a degenerate corpus where most paragraphs
+    are boilerplate still shuffles instead of dying on the driver) ->
+    per-doc array_sort(collect_list(struct(pos, para))) rebuild. No
+    all-pairs anywhere; skew bound = the most duplicated paragraph's
+    doc count, which the distinct-count agg reduces map-side."""
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("pk", F.md5("para"))
+    common = (
+        paras.where(F.length("para") >= min_chars)
+        .groupBy("pk")
+        .agg(F.count_distinct("id").alias("n_docs"))
+        .where(F.col("n_docs") > max_docs)
+        .select("pk")
+    )
+    kept = paras.join(common, "pk", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("n_paras"))
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            "n_paras",
+            (F.col("n_paras") - F.coalesce("_n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-doc contamination RATE — the graded companion to the boolean
+    ``contaminated_ids``: (id_col, n_shingles, n_hit, overlap_frac)
+    for EVERY doc, where overlap_frac = fraction of the doc's distinct
+    token n-grams present in the blocklist (0.0 for clean docs and for
+    docs too short to shingle). Pipelines that drop on ANY hit use
+    ``decontaminate``; threshold policies (e.g. drop when >10% of a
+    short doc is benchmark text) read this frame.
+
+    Same xxhash64 shingle-hash contract as the other decontamination
+    paths; the blocklist side is a distinct hash set LEFT-joined
+    unforced (AQE broadcasts real-world blocklists on its own)."""
+    # NULL text -> NULL shingle array (shingles_col alone would emit a
+    # single empty-string shingle there: greatest(NULL,1) -> window 1,
+    # concat_ws over a NULL array -> ''), so explode_outer keeps the
+    # doc with n_shingles = 0 — "unshingleable, therefore clean"
+    doc_h = docs.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.col(text_col).isNotNull(), _shingle_hashes(text_col, n)
+        ).alias("hs"),
+    )
+    blk = (
+        blocklist.select(F.explode(_shingle_hashes(block_text_col, n)).alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    ex = doc_h.select("id", F.explode_outer("hs").alias("h"))
+    agg = (
+        ex.join(blk, "h", "left")
+        .groupBy("id")
+        .agg(
+            F.count("h").alias("n_shingles"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_hit"),
+        )
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "n_hit",
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_hit").cast("double") / F.col("n_shingles"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("overlap_frac"),
+    )

@@ -401,3 +401,141 @@ def duckdb_redact_pii(docs: pd.DataFrame, patterns) -> pd.DataFrame:
     ).df()
     con.close()
     return out
+
+
+def duckdb_repetition_signals(docs: pd.DataFrame, top_ns=(2, 3, 4)) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.repetition_signals (Gopher
+    repetition axes). Lines split on chr(10), tokens on single space,
+    n-grams by 1-based inclusive list slicing — each formula restated
+    independently in DuckDB list/lambda SQL."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    ns = ", ".join(str(n) for n in top_ns)
+    covs = ", ".join(
+        f"max(CASE WHEN n = {n} THEN cnt * strlen(g) END) AS cov{n}"
+        for n in top_ns
+    )
+    outs = ", ".join(
+        f"CASE WHEN lf.n_chars > 0 THEN coalesce(cov.cov{n}, 0) / CAST(lf.n_chars AS DOUBLE) "
+        f"ELSE 0.0 END AS top{n}gram_char_frac"
+        for n in top_ns
+    )
+    out = con.sql(
+        f"""
+        WITH d AS (
+          SELECT doc_id, strlen(text) AS n_chars,
+                 string_split(text, chr(10)) AS lines,
+                 string_split(text, ' ') AS t
+          FROM docs),
+        lf AS (
+          SELECT doc_id, n_chars, len(lines) AS n_lines,
+            (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+              AS dup_line_frac,
+            list_sum(list_transform(lines, x -> strlen(x))) AS line_chars,
+            list_sum(list_transform(list_distinct(lines),
+              l -> (len(list_filter(lines, x -> x = l)) - 1) * strlen(l)))
+              AS dup_chars
+          FROM d),
+        g AS (
+          SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS g
+          FROM d, UNNEST([{ns}]) AS nn(n),
+               UNNEST(generate_series(1, len(t) - n + 1)) AS ii(i)),
+        cnts AS (
+          SELECT doc_id, n, g, count(*) AS cnt FROM g
+          GROUP BY doc_id, n, g HAVING count(*) >= 2),
+        cov AS (SELECT doc_id, {covs} FROM cnts GROUP BY doc_id)
+        SELECT lf.doc_id, lf.n_lines, lf.dup_line_frac,
+          CASE WHEN lf.line_chars > 0
+               THEN lf.dup_chars / CAST(lf.line_chars AS DOUBLE)
+               ELSE 0.0 END AS dup_line_char_frac,
+          {outs}
+        FROM lf LEFT JOIN cov ON lf.doc_id = cov.doc_id
+        ORDER BY lf.doc_id
+        """
+    ).df()
+    con.close()
+    return out
+
+
+def duckdb_paragraph_dedup(
+    docs: pd.DataFrame, sep: str = "\n\n", max_docs: int = 1, min_chars: int = 0
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.paragraph_dedup: paragraphs
+    grouped by their STRING (the engine groups/joins on md5(para) —
+    identical semantics absent a 128-bit collision), removal when
+    present in more than ``max_docs`` distinct docs, order-preserving
+    string_agg rebuild."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    sq = sep.replace("\n", "' || chr(10) || '")
+    sep_sql = f"('{sq}')"
+    out = con.sql(
+        f"""
+        WITH p AS (
+          SELECT doc_id, i AS pos, parts[i] AS para
+          FROM (SELECT doc_id, string_split(text, {sep_sql}) AS parts FROM docs),
+               UNNEST(generate_series(1, len(parts))) AS u(i)),
+        common AS (
+          SELECT para FROM p WHERE strlen(para) >= {min_chars}
+          GROUP BY para HAVING count(DISTINCT doc_id) > {max_docs}),
+        kept AS (SELECT * FROM p WHERE para NOT IN (SELECT para FROM common)),
+        reb AS (
+          SELECT doc_id, string_agg(para, {sep_sql} ORDER BY pos) AS text_deduped,
+                 count(*) AS n_kept
+          FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+               t.n_paras, t.n_paras - coalesce(r.n_kept, 0) AS n_removed
+        FROM tot t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id
+        """
+    ).df()
+    con.close()
+    return out
+
+
+def duckdb_contamination_overlap(
+    docs: pd.DataFrame, blocklist: pd.DataFrame, n: int = 13
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.contamination_overlap: per-doc
+    distinct-shingle totals + blocklist hit counts + overlap fraction,
+    0-rows for unshingleable (NULL-text) docs like the engine's
+    explode_outer. Shingle semantics mirror duckdb_decontaminate."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    con.register("blocklist", blocklist)
+    w = n - 1
+    shingles = (
+        "unnest(list_distinct([array_to_string(t[i:i+{w}], ' ') "
+        "FOR i IN generate_series(1, greatest(len(t)-{w}, 1))])) AS sh"
+    ).format(w=w)
+    out = con.sql(
+        f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+        b AS (SELECT string_split(text, ' ') AS t FROM blocklist),
+        dsh AS (SELECT doc_id, {shingles} FROM d),
+        bsh AS (SELECT DISTINCT {shingles} FROM b),
+        j AS (
+          SELECT dsh.doc_id, dsh.sh,
+                 CASE WHEN bsh.sh IS NOT NULL THEN 1 END AS hit
+          FROM dsh LEFT JOIN bsh USING (sh)),
+        a AS (
+          SELECT doc_id, count(sh) AS n_shingles,
+                 coalesce(sum(hit), 0) AS n_hit
+          FROM j GROUP BY doc_id)
+        SELECT docs.doc_id,
+               coalesce(a.n_shingles, 0) AS n_shingles,
+               coalesce(a.n_hit, 0) AS n_hit,
+               CASE WHEN coalesce(a.n_shingles, 0) > 0
+                    THEN a.n_hit / CAST(a.n_shingles AS DOUBLE)
+                    ELSE 0.0 END AS overlap_frac
+        FROM docs LEFT JOIN a USING (doc_id) ORDER BY docs.doc_id
+        """
+    ).df()
+    con.close()
+    return out

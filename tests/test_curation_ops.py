@@ -1,0 +1,214 @@
+"""Gopher-style repetition signals, RefinedWeb-style paragraph dedup,
+and graded contamination overlap — hand-computed goldens + DuckDB
+ANSI-SQL twins (tests/oracle.py), standing in for driver contract rows
+(the driver caps the contract at 50 entries)."""
+
+import numpy as np
+import pandas as pd
+
+from streetview_naturevisibility_spark.operators.textops import (
+    contaminated_ids,
+    contamination_overlap,
+    paragraph_dedup,
+    repetition_signals,
+)
+from tests.oracle import (
+    duckdb_contamination_overlap,
+    duckdb_paragraph_dedup,
+    duckdb_repetition_signals,
+)
+
+
+def _wide_corpus():
+    """Deterministic corpus with real repetition structure: duplicate
+    lines, repeated n-grams, empty text, single-token docs, null text."""
+    rows = []
+    for i in range(60):
+        if i % 23 == 22:
+            rows.append((i, None))
+            continue
+        if i % 19 == 18:
+            rows.append((i, ""))
+            continue
+        lines = []
+        for j in range(2 + i % 6):
+            toks = [f"w{(i * 13 + j * 5 + k * ((i % 4) or 1)) % 9}" for k in range(3 + (i + j) % 7)]
+            lines.append(" ".join(toks))
+        if i % 3 == 0:  # plant a duplicate line
+            lines.append(lines[0])
+        rows.append((i, "\n".join(lines)))
+    return rows
+
+
+class TestRepetitionSignals:
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                # tokens a b a b a b -> "a b" x3 of five 2-grams;
+                # lines: one line only
+                (1, "a b a b a b"),
+                # two identical lines + one unique
+                (2, "x y\nx y\nzz"),
+                (3, ""),
+            ],
+            "doc_id: long, text: string",
+        )
+        out = {r.doc_id: r for r in repetition_signals(docs).collect()}
+        r1 = out[1]
+        assert r1.n_lines == 1 and r1.dup_line_frac == 0.0
+        # top 2-gram "a b": count 3, len 3, n_chars 11
+        assert r1.top2gram_char_frac == 3 * 3 / 11
+        # top 3-gram "a b a"/"b a b": both count 2, len 5
+        assert r1.top3gram_char_frac == 2 * 5 / 11
+        # top 4-gram "a b a b" count 2 (positions 1,3 overlap is fine)
+        assert r1.top4gram_char_frac == 2 * 7 / 11
+        r2 = out[2]
+        assert r2.n_lines == 3
+        assert r2.dup_line_frac == 1.0 / 3.0
+        # duplicate chars: "x y" beyond first occurrence = 3; line chars 3+3+2
+        assert r2.dup_line_char_frac == 3 / 8
+        r3 = out[3]
+        assert r3.n_lines == 1 and r3.dup_line_frac == 0.0
+        assert r3.dup_line_char_frac == 0.0 and r3.top2gram_char_frac == 0.0
+
+    def test_duckdb_twin_wide(self, spark):
+        rows = _wide_corpus()
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = (
+            repetition_signals(docs)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_repetition_signals(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        for c in [
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "top2gram_char_frac",
+            "top3gram_char_frac",
+            "top4gram_char_frac",
+        ]:
+            a = got[c].to_numpy(dtype=float)
+            b = want[c].to_numpy(dtype=float)
+            both = ~np.isnan(a) & ~np.isnan(b)
+            assert (np.isnan(a) == np.isnan(b)).all(), c
+            assert (a[both] == b[both]).all(), c
+        nl_a, nl_b = got["n_lines"], want["n_lines"]
+        assert (nl_a.isna() == nl_b.isna()).all()
+        assert (nl_a.dropna().to_numpy() == nl_b.dropna().to_numpy()).all()
+
+
+BOILER = "subscribe to our newsletter"
+FOOTER = "all rights reserved"
+
+
+def _para_corpus():
+    rows = []
+    for i in range(24):
+        paras = [f"unique body {i} alpha", BOILER, f"unique body {i} beta"]
+        if i % 2 == 0:
+            paras.append(FOOTER)
+        if i == 7:
+            paras = [BOILER, FOOTER]  # all-boilerplate doc
+        rows.append((i, "\n\n".join(paras)))
+    return rows
+
+
+class TestParagraphDedup:
+    def test_semantics(self, spark):
+        rows = _para_corpus()
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+        assert len(out) == 24
+        # boilerplate removed, uniques kept in order
+        r0 = out[0]
+        assert r0.text_deduped == "unique body 0 alpha\n\nunique body 0 beta"
+        assert r0.n_paras == 4 and r0.n_removed == 2
+        # all-boilerplate doc survives as a row with empty text
+        assert out[7].text_deduped == "" and out[7].n_removed == 2
+        # odd doc (no footer): only BOILER removed
+        assert out[3].n_removed == 1
+
+    def test_min_chars_and_max_docs(self, spark):
+        rows = [(0, "hi\n\nlong shared paragraph"), (1, "hi\n\nlong shared paragraph"), (2, "hi\n\nother")]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        # min_chars=5 protects "hi" even though it appears in 3 docs
+        out = {r.doc_id: r for r in paragraph_dedup(docs, min_chars=5).collect()}
+        assert out[2].text_deduped == "hi\n\nother" and out[2].n_removed == 0
+        assert out[0].text_deduped == "hi" and out[0].n_removed == 1
+        # max_docs=2 tolerates the 2-doc shared paragraph but still
+        # drops "hi" (3 docs)
+        out2 = {r.doc_id: r for r in paragraph_dedup(docs, max_docs=2).collect()}
+        assert out2[0].text_deduped == "long shared paragraph"
+        assert out2[0].n_removed == 1
+        assert out2[2].text_deduped == "other" and out2[2].n_removed == 1
+
+    def test_duckdb_twin(self, spark):
+        rows = _para_corpus()
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = (
+            paragraph_dedup(docs)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_paragraph_dedup(pd.DataFrame(rows, columns=["doc_id", "text"]))
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["text_deduped"]) == list(want["text_deduped"])
+        assert list(got["n_paras"]) == list(want["n_paras"])
+        assert list(got["n_removed"]) == list(want["n_removed"])
+
+
+class TestContaminationOverlap:
+    def _corpus(self, spark):
+        bench = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14"
+        rows = []
+        for i in range(40):
+            if i == 5:
+                rows.append((i, None))
+            elif i == 11:  # fully contaminated: the benchmark verbatim
+                rows.append((i, bench))
+            elif i == 17:  # partially contaminated: benchmark + own tail
+                rows.append((i, bench + " " + " ".join(f"t{i}x{j}" for j in range(13))))
+            else:
+                rows.append((i, " ".join(f"t{(i * 31 + j * 13) % 50}" for j in range(5 + i % 20))))
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        blk = spark.createDataFrame([(0, bench)], "bid: long, text: string")
+        return rows, docs, blk
+
+    def test_values_and_boolean_consistency(self, spark):
+        rows, docs, blk = self._corpus(spark)
+        out = {r.doc_id: r for r in contamination_overlap(docs, blk, block_text_col="text").collect()}
+        assert len(out) == 40  # every doc present, incl. null text
+        assert out[5].n_shingles == 0 and out[5].overlap_frac == 0.0
+        # doc 11 = benchmark verbatim: all 3 distinct 13-gram shingles hit
+        assert out[11].overlap_frac == 1.0 and out[11].n_hit == out[11].n_shingles
+        # doc 17: hits the 3 benchmark shingles but has its own too
+        assert 0.0 < out[17].overlap_frac < 1.0
+        bool_ids = {
+            r.doc_id for r in contaminated_ids(docs, blk).collect()
+        }
+        frac_ids = {i for i, r in out.items() if r.n_hit > 0}
+        assert bool_ids == frac_ids == {11, 17}
+
+    def test_duckdb_twin(self, spark):
+        rows, docs, blk = self._corpus(spark)
+        got = (
+            contamination_overlap(docs, blk)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_contamination_overlap(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            blk.toPandas().rename(columns={"bid": "doc_id"}),
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["n_shingles"]) == list(want["n_shingles"])
+        assert list(got["n_hit"]) == list(want["n_hit"])
+        a = got["overlap_frac"].to_numpy(dtype=float)
+        b = want["overlap_frac"].to_numpy(dtype=float)
+        assert (a == b).all()
