@@ -1,0 +1,103 @@
+"""Scale evidence for the round-5 curation operators at 1M docs:
+repetition_signals, paragraph_dedup, contamination_overlap.
+
+Reuses bench.synthetic_docs (the funnel corpus, ~40 tokens/doc, 5%
+planted junk) and plants the structure each operator needs:
+- paragraph corpus: every doc gains a shared boilerplate paragraph on
+  doc_id % 2 == 0 (500k-doc duplicate paragraph — the adversarial
+  common-set case) plus its body paragraph.
+- blocklist: 1,000 docs verbatim (same recipe as the decontamination
+  bench) -> contamination_overlap must grade exactly those 1,000 docs
+  at overlap 1.0 (plus their near-dup +1 variants partially).
+
+Each leg forces full compute via an aggregate over every output column
+family and reports wall + a checksum-ish count so a wrong plan can't
+"win". Usage: python BENCH/curation_scale.py [n_docs=1000000]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from bench import synthetic_docs
+from streetview_naturevisibility_spark.operators.textops import (
+    contamination_overlap,
+    paragraph_dedup,
+    repetition_signals,
+)
+from streetview_naturevisibility_spark.session import get_spark
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = synthetic_docs(spark, n, cpus * 2)
+    results = {}
+
+    t0 = time.perf_counter()
+    rep = repetition_signals(docs)
+    r = rep.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("top2gram_char_frac") > 0).cast("long")).alias("n_rep2"),
+        F.sum("dup_line_frac").alias("s_dl"),
+    ).collect()[0]
+    results["repetition_signals"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows": r.n,
+        "docs_with_repeated_2gram": int(r.n_rep2),
+    }
+
+    boiler = "please subscribe to our newsletter for daily updates and offers"
+    pdocs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit("\n\n" + boiler)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    pdd = paragraph_dedup(pdocs)
+    r = pdd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_removed").alias("removed"),
+        F.sum(F.length("text_deduped")).alias("chars"),
+    ).collect()[0]
+    results["paragraph_dedup"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows": r.n,
+        "paras_removed": int(r.removed),
+        "expected_removed": (n + 1) // 2,
+    }
+
+    blk = docs.where(F.col("doc_id") % 1000 == 7).select("text")  # 1,000 docs
+    t0 = time.perf_counter()
+    ov = contamination_overlap(docs, blk)
+    r = ov.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("overlap_frac") >= 1.0).cast("long")).alias("full"),
+        F.sum((F.col("n_hit") > 0).cast("long")).alias("any"),
+    ).collect()[0]
+    results["contamination_overlap"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows": r.n,
+        "fully_contaminated": int(r.full),
+        "any_hit": int(r.any),
+    }
+
+    print(json.dumps({"n_docs": n, "cpus": cpus, "legs": results}))
+
+
+if __name__ == "__main__":
+    main()

@@ -272,8 +272,43 @@ def cmd_curate(args: argparse.Namespace) -> None:
             f"({args.decontam_n}-gram overlap vs blocklist)"
         )
 
+    if getattr(args, "para_dedup", False):
+        # boilerplate removal BEFORE scoring: quality/LM judge the
+        # text the downstream corpus will actually contain
+        from .operators.textops import paragraph_dedup
+
+        pd_out = paragraph_dedup(
+            docs,
+            max_docs=getattr(args, "para_max_docs", 1),
+            min_chars=getattr(args, "para_min_chars", 0),
+        )
+        n_para_removed = pd_out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        docs = docs.drop("text").join(
+            pd_out.select("doc_id", F.col("text_deduped").alias("text")),
+            "doc_id",
+        )
+        print(f"[para] removed={n_para_removed} boilerplate paragraph instances")
+
     scored = analyze_documents(docs, keep_input_cols=True)
     kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))
+
+    max_dup_line = getattr(args, "max_dup_line_frac", None)
+    max_top2gram = getattr(args, "max_top2gram_frac", None)
+    if max_dup_line is not None or max_top2gram is not None:
+        # Gopher-style repetition filter between the heuristic quality
+        # gate and the LM gate
+        from .operators.textops import repetition_signals
+
+        rep = repetition_signals(kept_q.select("doc_id", "text"), top_ns=(2,))
+        cond = F.lit(False)
+        if max_dup_line is not None:
+            cond = cond | (F.col("dup_line_frac") > max_dup_line)
+        if max_top2gram is not None:
+            cond = cond | (F.col("top2gram_char_frac") > max_top2gram)
+        bad = rep.where(cond).select("doc_id")
+        n_rep_dropped = bad.count()
+        kept_q = kept_q.join(bad, "doc_id", "left_anti")
+        print(f"[rep] dropped={n_rep_dropped} repetitive docs")
 
     if getattr(args, "lm_ref", None):
         # CCNet-style in-domain filter: bigram LM trained on the
@@ -428,6 +463,29 @@ def main() -> None:
         "to score (<2 tokens) are kept and counted, not dropped",
     )
     pc.add_argument("--min-logprob", type=float, default=-12.0)
+    pc.add_argument(
+        "--para-dedup",
+        action="store_true",
+        help="corpus-level paragraph dedup before scoring: paragraphs "
+        "appearing in more than --para-max-docs distinct docs are removed "
+        "from every doc (RefinedWeb-style boilerplate removal)",
+    )
+    pc.add_argument("--para-max-docs", type=int, default=1)
+    pc.add_argument("--para-min-chars", type=int, default=0)
+    pc.add_argument(
+        "--max-dup-line-frac",
+        type=float,
+        default=None,
+        help="drop docs whose duplicate-line fraction exceeds this "
+        "(Gopher repetition filter)",
+    )
+    pc.add_argument(
+        "--max-top2gram-frac",
+        type=float,
+        default=None,
+        help="drop docs where the most-repeated 2-gram covers more than "
+        "this fraction of characters (Gopher repetition filter)",
+    )
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

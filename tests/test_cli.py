@@ -210,6 +210,51 @@ class TestCurate:
         assert [r.doc_id for r in cur.collect()] == [1]
 
 
+    def test_para_dedup_and_repetition_filter(self, spark, tmp_path, capsys):
+        """--para-dedup strips corpus-wide boilerplate paragraphs before
+        scoring; --max-top2gram-frac drops the repetitive doc (Gopher
+        axis). Both print their stage lines and the funnel stays
+        monotone."""
+        import pandas as pd
+
+        boiler = "subscribe to our newsletter today for more updates"
+        rows = []
+        for i in range(8):
+            body = " ".join(f"word{i}x{j} token{(i * 7 + j) % 11}" for j in range(30))
+            rows.append((i, body + "\n\n" + boiler))
+        rows.append((100, "spam ham " * 40))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.5,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            para_dedup=True,
+            max_top2gram_frac=0.5,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[para] removed=8 boilerplate paragraph instances" in text
+        assert "[rep] dropped=1 repetitive docs" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        got = {r.doc_id: r.text for r in cur.collect()}
+        assert set(got) == set(range(8))  # spam doc gone
+        assert all(boiler not in t for t in got.values())
+
+
 class TestLayout:
     def test_layout_subcommand(self, spark, tmp_path):
         from streetview_naturevisibility_spark.sources import derived as D

@@ -284,6 +284,54 @@ def main() -> None:
         )
     )
 
+    # 11. repetition signals (Gopher axes): line features are pure
+    # codegen HOFs, gram features hash-aggregate — zero Python, no
+    # cartesian, no sort-merge on the corpus side
+    from streetview_naturevisibility_spark.operators.textops import (
+        paragraph_dedup,
+        repetition_signals,
+    )
+
+    docs11 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rep = repetition_signals(docs11)
+    p11 = plan_of(rep)
+    ok11, n11 = check(
+        "repetition signals",
+        p11,
+        must=["HashAggregate"],
+        must_not=["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    )
+    sections.append(
+        (
+            "Repetition signals: codegen line HOFs + hash gram aggs, zero Python",
+            rep,
+            p11,
+            ok11,
+            n11,
+        )
+    )
+
+    # 12. paragraph dedup: every shuffle keys on the md5 digest or the
+    # doc id (long paragraphs never shuffle as join keys twice), no
+    # Python, no cartesian
+    pdd = paragraph_dedup(docs11)
+    p12 = plan_of(pdd)
+    ok12, n12 = check(
+        "paragraph dedup",
+        p12,
+        must=["HashAggregate", "md5"],
+        must_not=["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    )
+    sections.append(
+        (
+            "Paragraph dedup: digest-keyed common-set agg + anti-join, zero Python",
+            pdd,
+            p12,
+            ok12,
+            n12,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
