@@ -533,14 +533,23 @@ def repetition_signals(
       (0.0 when nothing repeats — a single occurrence is not
       repetition).
 
-    Physical shape: the line features are pure per-row column algebra
-    (codegen HOFs, no shuffle; the duplicate-char sum is O(L^2) in a
-    doc's distinct LINES, bounded per row, never cross-row). The
-    n-gram features explode each doc ONCE for all requested n's into
-    (id, n, gram) rows -> one count shuffle + one per-doc max shuffle,
-    then join back to the line frame on id. At 100 TB each shuffle
-    key is (doc, gram) / doc — no corpus-wide hot key; skew equals
-    the largest single document, same bound as every per-doc agg."""
+    Physical shape: ZERO shuffle — every feature is per-document, so
+    nothing ever leaves its input row. The line features are codegen
+    HOFs (the duplicate-char sum is O(L^2) in a doc's distinct LINES,
+    bounded per row). The n-gram coverage is a per-row sorted-run
+    scan: build the gram array, ``array_sort`` it (identical grams
+    become adjacent), then one ``F.aggregate`` pass tracks the current
+    run length and the best ``count * len(gram)`` — O(G log G) per doc
+    in the doc's own gram count. The previous shape (explode ->
+    count shuffle -> per-doc max shuffle -> join back) moved every
+    gram STRING through two exchanges; measured at 1M docs the scan is
+    the difference between a map-only stage and the suite's slowest
+    curation leg (BENCH/BASELINE.md "Curation operators at 1M docs").
+    At 100 TB the worst row is the largest single document — the same
+    bound the shuffle shape had on its hottest (doc, gram) key, minus
+    the two corpus-wide exchanges."""
+    from ..functions.hof import let_col
+
     lines = F.split(F.col(text_col), "\n")
     n_lines = F.size(lines)
     dup_line_frac = (n_lines - F.size(F.array_distinct(lines))).cast(
@@ -557,7 +566,46 @@ def repetition_signals(
             (F.size(F.filter(lines, lambda x: x == l)) - 1) * F.length(l)
         ).cast("long"),
     )
-    line_feats = df.select(
+    tk = F.split(F.col(text_col), " ")
+
+    def _cov(n: int):
+        # sequence(1, stop) DESCENDS when stop < 1 — guard short docs
+        # with a typed empty array instead
+        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
+        mk = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+        grams = F.when(F.size(tk) >= n, mk).otherwise(
+            F.array().cast("array<string>")
+        )
+        # sorted-run scan: identical grams are adjacent after the sort,
+        # so one pass tracks (prev gram, run length, best count*len).
+        # run==1 contributes nothing — a single occurrence is not
+        # repetition. The greatest() sees every prefix of a run, so the
+        # run's final (full-count) candidate always lands in `best`.
+        return F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(1).alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, g: let_col(
+                # NULL prev (first element) compares NULL -> otherwise(1)
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+                lambda run: F.struct(
+                    g.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(
+                        acc["best"],
+                        F.when(
+                            run >= 2, run.cast("long") * F.length(g)
+                        ).otherwise(F.lit(0).cast("long")),
+                    ).alias("best"),
+                ),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    out = df.select(
         F.col(id_col),
         F.length(text_col).alias("_n_chars"),
         n_lines.alias("n_lines"),
@@ -565,63 +613,17 @@ def repetition_signals(
         F.when(line_chars > 0, dup_chars.cast("double") / line_chars)
         .otherwise(F.lit(0.0))
         .alias("dup_line_char_frac"),
-    )
-
-    tk = F.split(F.col(text_col), " ")
-
-    def _grams(n: int):
-        idx = F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1))
-        mk = F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.concat_ws(" ", F.slice(tk, i, n)).alias("g"),
-            ),
-        )
-        # sequence(1, stop) DESCENDS when stop < 1 — guard short docs
-        # with a typed empty array instead
-        return F.when(F.size(tk) >= n, mk).otherwise(
-            F.array().cast("array<struct<n:int,g:string>>")
-        )
-
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.length(text_col).alias("n_chars"),
-        F.explode(F.flatten(F.array(*[_grams(n) for n in top_ns]))).alias("s"),
-    ).select("id", "n_chars", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
-    cov = (
-        exploded.groupBy("id", "n_chars", "n", "g")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") >= 2)
-        .groupBy("id", "n_chars")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("n") == n, F.col("cnt") * F.length("g"))
-                ).alias(f"_cov{n}")
-                for n in top_ns
-            ]
-        )
-    )
-    out = line_feats.join(
-        cov.select(
-            F.col("id").alias(id_col),
-            "n_chars",
-            *[f"_cov{n}" for n in top_ns],
-        ),
-        [id_col],
-        "left",
+        *[_cov(n).alias(f"_cov{n}") for n in top_ns],
     )
     for n in top_ns:
         out = out.withColumn(
             f"top{n}gram_char_frac",
             F.when(
                 F.col("_n_chars") > 0,
-                F.coalesce(F.col(f"_cov{n}").cast("double"), F.lit(0.0))
-                / F.col("_n_chars"),
+                F.col(f"_cov{n}").cast("double") / F.col("_n_chars"),
             ).otherwise(F.lit(0.0)),
         )
-    return out.drop("n_chars", "_n_chars", *[f"_cov{n}" for n in top_ns])
+    return out.drop("_n_chars", *[f"_cov{n}" for n in top_ns])
 
 
 def paragraph_dedup(

@@ -284,9 +284,10 @@ def main() -> None:
         )
     )
 
-    # 11. repetition signals (Gopher axes): line features are pure
-    # codegen HOFs, gram features hash-aggregate — zero Python, no
-    # cartesian, no sort-merge on the corpus side
+    # 11. repetition signals (Gopher axes): EVERY feature is per-doc,
+    # so the whole operator is one map-only Project over the scan —
+    # no exchange, no join, no Python (the gram coverage is a per-row
+    # array_sort + run-scan aggregate, not an explode+groupBy)
     from streetview_naturevisibility_spark.operators.textops import (
         paragraph_dedup,
         repetition_signals,
@@ -298,12 +299,17 @@ def main() -> None:
     ok11, n11 = check(
         "repetition signals",
         p11,
-        must=["HashAggregate"],
-        must_not=["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+        must=["array_sort"],
+        must_not=[
+            "Exchange",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "CartesianProduct",
+        ],
     )
     sections.append(
         (
-            "Repetition signals: codegen line HOFs + hash gram aggs, zero Python",
+            "Repetition signals: map-only sorted-run scan, zero shuffle/Python",
             rep,
             p11,
             ok11,
