@@ -96,6 +96,46 @@ def main() -> None:
         "any_hit": int(r.any),
     }
 
+    # token-budget select A/B: exact window (whole-stratum sort) vs
+    # bucketed (broadcast per-bucket verdicts + fine-grained window).
+    # Measured over MATERIALIZED parquet with a precomputed n_tokens
+    # column — the realistic shape (the curate funnel passes
+    # tokens_col): the bucketed method's first pass prunes to 3 narrow
+    # columns, which an on-the-fly generated corpus can't express
+    # (there, regenerating text twice dominates and window wins — see
+    # BENCH/BASELINE.md). Pseudo-quality is hash-derived so every
+    # bucket is populated; budgets sized so ~half of each of the 5
+    # langs survives — the boundary lands mid-distribution.
+    import tempfile
+
+    from streetview_naturevisibility_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    stage = tempfile.mkdtemp() + "/budget_docs"
+    docs.withColumn(
+        "quality_score",
+        (F.pmod(F.xxhash64("doc_id"), F.lit(100_000)) / F.lit(100_000.0)),
+    ).withColumn(
+        "n_tokens", F.size(F.split("text", " ")).cast("long")
+    ).write.mode("overwrite").parquet(stage)
+    qdocs = spark.read.parquet(stage)
+    budget = {"en": n * 4, "de": n * 4, "fr": n * 4, "es": n * 4, "zh": n * 4}
+    for method in ["window", "bucketed"]:
+        t0 = time.perf_counter()
+        kept = token_budget_select(
+            qdocs, budget, method=method, tokens_col="n_tokens"
+        )
+        r = kept.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("tok"),
+        ).collect()[0]
+        results[f"token_budget_{method}"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "docs_kept": r.n,
+            "tokens_kept": int(r.tok),
+        }
+
     print(json.dumps({"n_docs": n, "cpus": cpus, "legs": results}))
 
 

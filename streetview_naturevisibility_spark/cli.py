@@ -373,6 +373,33 @@ def cmd_curate(args: argparse.Namespace) -> None:
         }
         out = stratified_sample(out, "lang_pred", rates, "doc_id",
                                 default_rate=args.default_rate)
+
+    if getattr(args, "token_budget", None):
+        # final mixing stage: fill each language's token budget with
+        # its best remaining docs (bucketed two-phase — only the
+        # boundary quality-bucket per stratum is sorted)
+        from .operators.corpus import token_budget_select
+
+        budgets = {
+            kv.split("=")[0]: int(kv.split("=")[1])
+            for kv in args.token_budget.split(",")
+        }
+        out = token_budget_select(
+            out,
+            budgets,
+            strata_col="lang_pred",
+            quality_col="quality_score",
+            # analyze_documents already counted tokens — reuse, don't
+            # re-split the text
+            tokens_col="n_tokens" if "n_tokens" in out.columns else None,
+            default_budget=getattr(args, "budget_default", 0),
+        )
+        tot = out.groupBy("lang_pred").agg(F.sum("n_tokens").alias("t"))
+        mix = {r.lang_pred: int(r.t) for r in tot.collect()}
+        print(
+            "[budget] tokens kept per lang: "
+            + ", ".join(f"{k}={v}" for k, v in sorted(mix.items(), key=str))
+        )
     n_out = out.count()
 
     out.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
@@ -472,6 +499,20 @@ def main() -> None:
     )
     pc.add_argument("--para-max-docs", type=int, default=1)
     pc.add_argument("--para-min-chars", type=int, default=0)
+    pc.add_argument(
+        "--token-budget",
+        default=None,
+        help="final mixing stage: per-lang token budgets like "
+        "'en=40000,de=20000' — keeps each language's highest-quality "
+        "docs until the budget fills (bucketed two-phase select)",
+    )
+    pc.add_argument(
+        "--budget-default",
+        type=int,
+        default=0,
+        help="token budget for languages not listed in --token-budget "
+        "(0 drops them)",
+    )
     pc.add_argument(
         "--max-dup-line-frac",
         type=float,

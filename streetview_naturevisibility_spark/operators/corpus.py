@@ -366,3 +366,132 @@ def ngram_topk(
         .where(F.col("rank") <= k)
         .select(F.col("grp").alias(group_col), "gram", "df_count", "rank")
     )
+
+
+# ------------------------------------------------------------------
+# token-budget selection (corpus mixing)
+# ------------------------------------------------------------------
+def _budget_col(strata_col: str, budgets: dict[str, int], default_budget: int):
+    b = F.lit(int(default_budget)).cast("long")
+    for k, v in sorted(budgets.items()):
+        b = F.when(F.col(strata_col) == F.lit(k), F.lit(int(v)).cast("long")).otherwise(b)
+    return b
+
+
+def token_budget_select(
+    df: DataFrame,
+    budgets: dict[str, int],
+    strata_col: str = "lang",
+    quality_col: str = "quality_score",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    default_budget: int = 0,
+    method: str = "bucketed",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Fill each stratum's TOKEN budget with its best documents — the
+    corpus-mixing step after filtering/dedup: a curator fixes per-
+    language (or per-source) token counts for the training mix and
+    wants the highest-quality documents that fit.
+
+    Semantics (both methods, bit-identical): within each stratum, order
+    docs by (quality DESC NULLS LAST, id ASC); keep a doc iff the
+    running INCLUSIVE token sum through it is <= budget(stratum).
+    A doc that would overshoot the remaining budget is dropped (and so
+    is everything after it) — deterministic, engine-portable, no
+    partial documents. Unlisted strata get ``default_budget`` (0 =
+    drop). Output = input columns + ``n_tokens`` (computed via
+    ``token_count_col`` when ``tokens_col`` is None), kept rows only.
+
+    ``method="window"`` is the direct form: one cumulative-sum window
+    per stratum. Exact, but the window SORTS every stratum end-to-end
+    — at 100 TB the largest language becomes one giant ordered
+    partition, which is precisely the skew a declarative plan can't
+    fix here.
+
+    ``method="bucketed"`` (default) is the two-phase scale path built
+    on one identity: ordering is bucket-major (equal-quality docs
+    always share a bucket, floor is monotone), so the global running
+    sum through a doc decomposes EXACTLY as
+
+        tokens in strictly-better buckets  +  within-bucket running sum.
+
+    (1) bucket quality into ``n_buckets`` ordered bins; (2) aggregate
+    token sums per (stratum, bucket) — a TINY frame (strata x buckets
+    rows); (3) a window over that tiny frame gives each bucket the
+    tokens consumed before it (``_before``); (4) broadcast-join
+    ``_before`` back and run ONE cumulative window partitioned by
+    (stratum, bucket): the sort partitions are ~1/n_buckets of a
+    stratum, so the giant-language skew the plain window method hits
+    at scale never forms — same single corpus scan, same shuffle
+    volume, bounded partition size. Keep iff ``_before + within-bucket
+    cum <= budget`` — bit-identical to ``method="window"`` by the
+    identity above (pytest asserts equality on a tie-heavy corpus).
+    """
+    from streetview_naturevisibility_spark.operators.textops import token_count_col
+
+    if tokens_col is None:
+        # NULL text counts as 0 tokens, NOT NULL: a NULL would vanish
+        # from the window sum (kept "for free") but poison the bucketed
+        # method's per-bucket sums — 0 keeps both methods identical
+        df = df.withColumn(
+            "n_tokens",
+            F.coalesce(token_count_col(text_col), F.lit(0).cast("long")),
+        )
+        tokens_col = "n_tokens"
+    budget = _budget_col(strata_col, budgets, default_budget)
+
+    order = [F.col(quality_col).desc_nulls_last(), F.col(id_col).asc()]
+    if method == "window":
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            df.withColumn("_cum", F.sum(tokens_col).over(w))
+            .where(F.col("_cum") <= budget)
+            .drop("_cum")
+        )
+    if method != "bucketed":
+        raise ValueError(f"unknown method {method!r}")
+
+    # NULL quality -> NULL bucket, ordered last like the quality sort
+    qb = F.floor(F.col(quality_col) * F.lit(float(n_buckets)))
+    docs = df.withColumn("_qb", qb)
+    per_bucket = docs.groupBy(strata_col, "_qb").agg(
+        F.sum(tokens_col).alias("_bsum")
+    )
+    wb = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("_qb").desc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    verdicts = per_bucket.withColumn(
+        "_before", F.coalesce(F.sum("_bsum").over(wb), F.lit(0).cast("long"))
+    ).select(
+        F.col(strata_col).alias("_v_strata"),
+        F.col("_qb").alias("_v_qb"),
+        "_before",
+    )
+    # eqNullSafe: NULL strata and the NULL-quality bucket are real
+    # groups and must join (plain = would silently drop them)
+    joined = docs.join(
+        F.broadcast(verdicts),
+        F.col(strata_col).eqNullSafe(F.col("_v_strata"))
+        & F.col("_qb").eqNullSafe(F.col("_v_qb")),
+        "inner",
+    ).drop("_v_strata", "_v_qb")
+    wib = (
+        Window.partitionBy(strata_col, "_qb")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.withColumn(
+            "_cum", F.col("_before") + F.sum(tokens_col).over(wib)
+        )
+        .where(F.col("_cum") <= budget)
+        .drop("_qb", "_before", "_cum")
+    )

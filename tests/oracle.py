@@ -539,3 +539,37 @@ def duckdb_contamination_overlap(
     ).df()
     con.close()
     return out
+
+
+def duckdb_token_budget_select(
+    docs: pd.DataFrame, budgets: dict[str, int], default_budget: int = 0
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/corpus.token_budget_select (window
+    semantics — the bucketed method must equal this too): per stratum,
+    order by (quality DESC NULLS LAST, doc_id), keep while the
+    inclusive running token sum fits the stratum budget."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(budgets.items())
+    )
+    out = con.sql(
+        f"""
+        WITH t AS (
+          SELECT *, coalesce(len(string_split(text, ' ')), 0) AS n_tokens
+          FROM docs),
+        c AS (
+          SELECT *, SUM(n_tokens) OVER (
+            PARTITION BY lang
+            ORDER BY quality_score DESC NULLS LAST, doc_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM t)
+        SELECT * EXCLUDE (cum) FROM c
+        WHERE cum <= (CASE lang {cases} ELSE {int(default_budget)} END)
+        ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    return out

@@ -255,6 +255,47 @@ class TestCurate:
         assert all(boiler not in t for t in got.values())
 
 
+    def test_token_budget_stage(self, spark, tmp_path, capsys):
+        """--token-budget fills each predicted language's budget with
+        its best docs and prints the per-lang token mix."""
+        import pandas as pd
+
+        rows = []
+        for i in range(12):
+            body = " ".join(
+                f"word{i}x{j} the and of to {j}" for j in range(10 + i)
+            )
+            rows.append((i, body))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.5,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            token_budget="en=200",
+            budget_default=0,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[budget] tokens kept per lang: en=" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        total = sum(r.n_tokens for r in cur.select("n_tokens").collect())
+        assert 0 < total <= 200
+
+
 class TestLayout:
     def test_layout_subcommand(self, spark, tmp_path):
         from streetview_naturevisibility_spark.sources import derived as D

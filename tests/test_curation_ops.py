@@ -212,3 +212,120 @@ class TestContaminationOverlap:
         a = got["overlap_frac"].to_numpy(dtype=float)
         b = want["overlap_frac"].to_numpy(dtype=float)
         assert (a == b).all()
+
+
+from streetview_naturevisibility_spark.operators.corpus import token_budget_select
+from tests.oracle import duckdb_token_budget_select
+
+
+def _budget_corpus():
+    """Tie-heavy corpus: 3 langs + a NULL-lang row, quality ties that
+    straddle any bucket boundary, NULL quality, NULL/empty text."""
+    rows = []
+    i = 0
+    for lang in ["en", "de", "fr"]:
+        for q in [0.9, 0.7, 0.7, 0.7, 0.5, 0.5, 0.3, None]:
+            for rep in range(3):
+                n_tok = 2 + (i * 7) % 9
+                text = " ".join(f"t{i}x{k}" for k in range(n_tok))
+                rows.append((i, text, lang, q))
+                i += 1
+    rows.append((i, "a b c", None, 0.8))
+    rows.append((i + 1, None, "en", None))
+    return rows
+
+
+class TestTokenBudgetSelect:
+    SCHEMA = "doc_id: long, text: string, lang: string, quality_score: double"
+
+    def test_hand_computed(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d", "en", 0.9),    # 4 tokens, cum 4
+                (2, "a b c d e f", "en", 0.8),  # 6 tokens, cum 10 > 9 -> dropped
+                (3, "a b", "en", 0.7),        # 2 tokens — dropped too (no skip-ahead)
+                (4, "a b", "de", 0.1),        # de has no budget
+            ],
+            self.SCHEMA,
+        )
+        for method in ["window", "bucketed"]:
+            kept = token_budget_select(
+                docs, {"en": 9}, method=method
+            ).collect()
+            assert {r.doc_id for r in kept} == {1}, method
+            assert kept[0].n_tokens == 4
+
+    def test_window_matches_duckdb_twin(self, spark):
+        import pandas as pd
+
+        rows = _budget_corpus()
+        budgets = {"en": 40, "de": 10_000, "fr": 0}
+        docs = spark.createDataFrame(rows, self.SCHEMA)
+        got = (
+            token_budget_select(docs, budgets, method="window")
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_token_budget_select(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang", "quality_score"]),
+            budgets,
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["n_tokens"]) == list(want["n_tokens"])
+
+    def test_bucketed_equals_window(self, spark):
+        rows = _budget_corpus()
+        docs = spark.createDataFrame(rows, self.SCHEMA)
+        for budgets, default in [
+            ({"en": 40, "de": 55, "fr": 1}, 0),
+            ({"en": 3, "de": 10_000}, 5),
+            ({}, 37),
+        ]:
+            base = {
+                r.doc_id
+                for r in token_budget_select(
+                    docs, budgets, default_budget=default, method="window"
+                ).collect()
+            }
+            for nb in [2, 64, 1024]:
+                got = {
+                    r.doc_id
+                    for r in token_budget_select(
+                        docs,
+                        budgets,
+                        default_budget=default,
+                        method="bucketed",
+                        n_buckets=nb,
+                    ).collect()
+                }
+                assert got == base, (budgets, default, nb)
+
+    def test_null_strata_and_quality(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "a b", None, 0.9),
+                (2, "a b", "en", None),
+                (3, "a b c", "en", 0.5),
+            ],
+            self.SCHEMA,
+        )
+        for method in ["window", "bucketed"]:
+            # default budget covers NULL lang; NULL-text doc counts as
+            # 0 tokens so it rides along while budget remains
+            kept = {
+                r.doc_id
+                for r in token_budget_select(
+                    docs, {"en": 5}, default_budget=2, method=method
+                ).collect()
+            }
+            assert kept == {1, 2, 3}, method
+            # default 0 drops the NULL-lang doc; en keeps 3 then the
+            # free 0-token doc 2
+            kept = {
+                r.doc_id
+                for r in token_budget_select(
+                    docs, {"en": 5}, default_budget=0, method=method
+                ).collect()
+            }
+            assert kept == {2, 3}, method

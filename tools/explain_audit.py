@@ -338,6 +338,44 @@ def main() -> None:
         )
     )
 
+    # 13. token-budget select (bucketed): the corpus-sized side joins
+    # the tiny per-bucket verdict frame via BROADCAST (never sort-merge
+    # on the corpus), and the only corpus-side Window is the boundary-
+    # bucket cumsum — no Python, no cartesian
+    from streetview_naturevisibility_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    # documents.parquet has no quality_score — n_chars is an orderable
+    # stand-in; the plan shape is what's audited
+    tbs = token_budget_select(
+        docs11,
+        {"en": 10_000, "de": 5_000},
+        quality_col="n_chars",
+        default_budget=100,
+    )
+    p13 = plan_of(tbs)
+    ok13, n13 = check(
+        "token budget select",
+        p13,
+        must=["BroadcastHashJoin", "Window"],
+        must_not=[
+            "SortMergeJoin",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "CartesianProduct",
+        ],
+    )
+    sections.append(
+        (
+            "Token-budget select: broadcast verdicts, boundary-only corpus sort",
+            tbs,
+            p13,
+            ok13,
+            n13,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
