@@ -81,6 +81,27 @@ def main() -> None:
         "expected_removed": (n + 1) // 2,
     }
 
+    # chunk dedup: the corpus's planted near-dup pairs (doc_id % 100 ==
+    # 1 repeats the predecessor's token stream + " extra") share every
+    # PREFIX-ALIGNED 32-char chunk — those instances are the planted
+    # duplicates (count is deterministic; appended-suffix duplicates
+    # would NOT align, which is exactly the documented boundary of the
+    # non-overlapping approximation)
+    from streetview_naturevisibility_spark.operators.textops import chunk_dedup
+
+    t0 = time.perf_counter()
+    cd = chunk_dedup(docs, chunk_chars=32)
+    r = cd.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_removed").alias("removed"),
+        F.sum(F.length("text_deduped")).alias("chars"),
+    ).collect()[0]
+    results["chunk_dedup"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows": r.n,
+        "chunks_removed": int(r.removed),
+    }
+
     blk = docs.where(F.col("doc_id") % 1000 == 7).select("text")  # 1,000 docs
     t0 = time.perf_counter()
     ov = contamination_overlap(docs, blk)

@@ -289,6 +289,22 @@ def cmd_curate(args: argparse.Namespace) -> None:
         )
         print(f"[para] removed={n_para_removed} boilerplate paragraph instances")
 
+    if getattr(args, "chunk_dedup", None):
+        # substring-level dedup (RETRO-chunk approximation): cut every
+        # repeated L-char chunk except its globally-first occurrence
+        from .operators.textops import chunk_dedup
+
+        cd_out = chunk_dedup(docs, chunk_chars=args.chunk_dedup)
+        n_chunks_removed = cd_out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        docs = docs.drop("text").join(
+            cd_out.select("doc_id", F.col("text_deduped").alias("text")),
+            "doc_id",
+        )
+        print(
+            f"[chunk] removed={n_chunks_removed} duplicated "
+            f"{args.chunk_dedup}-char chunk instances"
+        )
+
     scored = analyze_documents(docs, keep_input_cols=True)
     kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))
 
@@ -499,6 +515,16 @@ def main() -> None:
     )
     pc.add_argument("--para-max-docs", type=int, default=1)
     pc.add_argument("--para-min-chars", type=int, default=0)
+    pc.add_argument(
+        "--chunk-dedup",
+        type=int,
+        default=None,
+        metavar="L",
+        help="substring-level exact dedup before scoring: every "
+        "repeated non-overlapping L-char chunk is cut from all but "
+        "its globally-first occurrence (RETRO-chunk approximation of "
+        "suffix-array dedup)",
+    )
     pc.add_argument(
         "--token-budget",
         default=None,

@@ -744,3 +744,99 @@ def contamination_overlap(
         .otherwise(F.lit(0.0))
         .alias("overlap_frac"),
     )
+
+
+_CHUNK_PACK = 2**31  # packed (doc_id, pos) canonical key — pos < 2^31
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 100,
+) -> DataFrame:
+    """Corpus-level exact SUBSTRING dedup, bounded to non-overlapping
+    ``chunk_chars``-character windows (the RETRO-chunk approximation of
+    Lee et al.'s suffix-array dedup — the published family the
+    paragraph/MinHash/SimHash suite doesn't cover): every L-char chunk
+    whose content occurs more than once in the corpus (across docs OR
+    repeated within one doc) is removed from every occurrence EXCEPT
+    the globally-first one (min packed (doc_id, position)); the doc's
+    trailing ``len % L`` characters are never hashed or removed.
+
+    -> (id_col, text_deduped, n_chunks, n_removed) — one row per input
+    doc (NULL text stays NULL; docs shorter than one chunk pass
+    through whole).
+
+    Physical shape: posexplode -> ONE groupBy on md5(chunk) (the
+    128-bit digest is the shuffle key, long chunks never shuffle
+    twice; instance count + packed-min canonical in the same
+    aggregate) -> inner join back (AQE broadcasts the usually-small
+    duplicated set) -> per-doc kill-position sets -> the rebuild is a
+    per-row codegen HOF (re-derive the chunk array, two-arg
+    ``F.filter`` drops killed indices, concat the protected tail) —
+    the text itself never shuffles for the rebuild. Skew bound = the
+    most duplicated chunk's occurrence count, reduced map-side by the
+    partial aggregate. ``doc_id`` must fit 32 bits and docs must stay
+    under 2^31 chars for the packed key (raise chunk_chars for huge
+    docs)."""
+    L = int(chunk_chars)
+    if L < 1:
+        raise ValueError("chunk_chars must be >= 1")
+    n_full = F.floor(F.length(text_col) / F.lit(L))
+
+    def _chunks():
+        idx = F.sequence(F.lit(0).cast("long"), n_full - 1)
+        mk = F.transform(
+            idx,
+            lambda i: F.col(text_col).substr(
+                (i * F.lit(L) + 1).cast("int"), F.lit(L)
+            ),
+        )
+        # sequence(0, stop) DESCENDS when stop < 0 — guard short docs
+        return F.when(n_full >= 1, mk).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_chunks()).alias("pos", "chunk"),
+    ).select("id", "pos", F.md5("chunk").alias("ck"))
+    dup = (
+        chunks.groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(
+                F.col("id") * F.lit(_CHUNK_PACK) + F.col("pos")
+            ).alias("_canon"),
+        )
+        .where(F.col("_n") > 1)
+        .select("ck", "_canon")
+    )
+    kills = (
+        chunks.join(dup, "ck", "inner")
+        .where(
+            F.col("id") * F.lit(_CHUNK_PACK) + F.col("pos")
+            != F.col("_canon")
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_kill"))
+    )
+    tail = F.col(text_col).substr(
+        (n_full * F.lit(L) + 1).cast("int"), F.length(text_col)
+    )
+    kept_arr = F.filter(
+        _chunks(),
+        lambda c, i: ~F.array_contains(
+            F.coalesce(F.col("_kill"), F.array().cast("array<int>")), i
+        ),
+    )
+    out = df.join(
+        kills, F.col(id_col) == F.col("id"), "left"
+    ).select(
+        F.col(id_col),
+        F.concat(F.array_join(kept_arr, ""), tail).alias("text_deduped"),
+        F.coalesce(n_full, F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.size("_kill"), F.lit(0)).cast("long").alias("n_removed"),
+    )
+    return out

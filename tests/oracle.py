@@ -573,3 +573,51 @@ def duckdb_token_budget_select(
     ).df()
     con.close()
     return out
+
+
+def duckdb_chunk_dedup(
+    docs: pd.DataFrame, chunk_chars: int = 100
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.chunk_dedup: non-overlapping
+    L-char windows, md5-grouped; every instance of a >1-occurrence
+    chunk except the packed-min (doc_id, pos) canonical is cut; the
+    trailing len%L chars always survive."""
+    import duckdb
+
+    L = int(chunk_chars)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    out = con.sql(
+        f"""
+        WITH d AS (
+          SELECT doc_id, text, strlen(text) // {L} AS nf FROM docs),
+        ch AS (
+          SELECT doc_id, i AS pos,
+                 substring(text, CAST(i * {L} + 1 AS INT), {L}) AS chunk,
+                 md5(substring(text, CAST(i * {L} + 1 AS INT), {L})) AS ck
+          FROM d, UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS t(i)),
+        dup AS (
+          SELECT ck, min(doc_id * 2147483648 + pos) AS canon
+          FROM ch GROUP BY ck HAVING count(*) > 1),
+        kill AS (
+          SELECT doc_id, pos FROM ch JOIN dup USING (ck)
+          WHERE doc_id * 2147483648 + pos != canon),
+        kept AS (
+          SELECT ch.doc_id,
+                 string_agg(chunk, '' ORDER BY ch.pos) AS body,
+                 count(*) AS n_kept
+          FROM ch LEFT JOIN kill
+            ON ch.doc_id = kill.doc_id AND ch.pos = kill.pos
+          WHERE kill.pos IS NULL
+          GROUP BY ch.doc_id)
+        SELECT d.doc_id,
+               coalesce(kept.body, '') ||
+                 substring(d.text, CAST(d.nf * {L} + 1 AS INT)) AS text_deduped,
+               coalesce(d.nf, 0) AS n_chunks,
+               coalesce(d.nf, 0) - coalesce(kept.n_kept, 0) AS n_removed
+        FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+        ORDER BY d.doc_id
+        """
+    ).df()
+    con.close()
+    return out

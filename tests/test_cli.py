@@ -295,6 +295,45 @@ class TestCurate:
         total = sum(r.n_tokens for r in cur.select("n_tokens").collect())
         assert 0 < total <= 200
 
+    def test_chunk_dedup_stage(self, spark, tmp_path, capsys):
+        """--chunk-dedup cuts repeated L-char chunks from all but the
+        first doc before scoring."""
+        import pandas as pd
+
+        shared = "0123456789abcdefghij" * 2  # 40 chars = one L=40 chunk
+        rows = []
+        for i in range(6):
+            body = " ".join(f"word{i}x{j} tok{(i * 5 + j) % 13}" for j in range(25))
+            rows.append((i, shared + body))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.5,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            chunk_dedup=40,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[chunk] removed=5 duplicated 40-char chunk instances" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        got = {r.doc_id: r.text for r in cur.collect()}
+        assert sum(1 for t in got.values() if t.startswith(shared)) == 1
+
+
 
 class TestLayout:
     def test_layout_subcommand(self, spark, tmp_path):

@@ -329,3 +329,83 @@ class TestTokenBudgetSelect:
                 ).collect()
             }
             assert kept == {2, 3}, method
+
+
+from streetview_naturevisibility_spark.operators.textops import chunk_dedup
+from tests.oracle import duckdb_chunk_dedup
+
+
+def _chunk_corpus(L=20):
+    """Docs sharing exact L-char runs at different offsets-multiples,
+    within-doc repeats, short docs, tails, empty + NULL text."""
+    block_a = "A" * 8 + "quick brown fox!" [: L - 8]
+    block_a = (block_a + "x" * L)[:L]
+    block_b = ("the shared boiler " * 3)[:L]
+    rows = [
+        (0, block_a + block_b + "tail0"),          # canonical holder
+        (1, block_b + block_a + "t1"),             # both blocks again
+        (2, block_a + block_a + block_a),          # within-doc repeats
+        (3, "unique little doc"),                  # < L chars: untouched
+        (4, ""),                                   # empty
+        (5, None),                                 # NULL
+        (6, "u" * L + block_b),                    # unique block + shared
+    ]
+    return rows
+
+
+class TestChunkDedup:
+    def test_hand_computed(self, spark):
+        L = 4
+        docs = spark.createDataFrame(
+            [
+                (1, "aaaabbbbcc"),   # chunks aaaa,bbbb + tail cc
+                (2, "bbbbaaaa"),     # both chunks are dups of doc 1's
+                (3, "aaaaaaaa"),     # within-doc repeat of aaaa
+            ],
+            "doc_id: long, text: string",
+        )
+        out = {r.doc_id: r for r in chunk_dedup(docs, chunk_chars=L).collect()}
+        assert out[1].text_deduped == "aaaabbbbcc"  # canonical survives
+        assert out[1].n_removed == 0
+        assert out[2].text_deduped == ""            # both chunks cut
+        assert out[2].n_removed == 2
+        assert out[3].text_deduped == ""            # repeat of doc1's aaaa
+        assert out[3].n_removed == 2
+
+    def test_duckdb_twin(self, spark):
+        import pandas as pd
+
+        L = 20
+        rows = _chunk_corpus(L)
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = (
+            chunk_dedup(docs, chunk_chars=L)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_chunk_dedup(
+            pd.DataFrame(rows, columns=["doc_id", "text"]), chunk_chars=L
+        )
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        for c in ["text_deduped", "n_chunks", "n_removed"]:
+            a, b = got[c], want[c]
+            assert (a.isna() == b.isna()).all(), c
+            assert (a.dropna() == b.dropna()).all(), c
+
+    def test_rebuild_is_lossless_without_dups(self, spark):
+        # every aligned 7-char chunk is globally unique BY CONSTRUCTION
+        # ({i:02d}{m:02d} prefix); the shared 2-char tail is never
+        # hashed, so nothing may be removed
+        orig = {
+            i: "".join(f"{i:02d}{m:02d}xyz" for m in range(5)) + "tl"
+            for i in range(20)
+        }
+        docs = spark.createDataFrame(
+            list(orig.items()), "doc_id: long, text: string"
+        )
+        out = chunk_dedup(docs, chunk_chars=7).collect()
+        assert len(out) == 20
+        for r in out:
+            assert r.text_deduped == orig[r.doc_id]
+            assert r.n_removed == 0 and r.n_chunks == 5

@@ -338,6 +338,29 @@ def main() -> None:
         )
     )
 
+    # 12b. chunk dedup: one digest-keyed aggregate (count + packed-min
+    # canonical in the SAME agg), join back, per-row HOF rebuild — the
+    # text never shuffles for the rebuild, no Python, no cartesian
+    from streetview_naturevisibility_spark.operators.textops import chunk_dedup
+
+    cdd = chunk_dedup(docs11, chunk_chars=64)
+    p12b = plan_of(cdd)
+    ok12b, n12b = check(
+        "chunk dedup",
+        p12b,
+        must=["HashAggregate", "md5"],
+        must_not=["ArrowEvalPython", "BatchEvalPython", "CartesianProduct"],
+    )
+    sections.append(
+        (
+            "Chunk dedup: digest-keyed count+canonical agg, HOF rebuild, zero Python",
+            cdd,
+            p12b,
+            ok12b,
+            n12b,
+        )
+    )
+
     # 13. token-budget select (bucketed): the corpus-sized side joins
     # the tiny per-bucket verdict frame via BROADCAST (never sort-merge
     # on the corpus), and the only corpus-side Window is the boundary-
