@@ -495,3 +495,82 @@ def token_budget_select(
         .where(F.col("_cum") <= budget)
         .drop("_qb", "_before", "_cum")
     )
+
+
+# ------------------------------------------------------------------
+# URL-level curation (Common-Crawl-style)
+# ------------------------------------------------------------------
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Alias-collapse dedup by NORMALIZED URL — the stage CC-style
+    pipelines run BEFORE content dedup (the same page arrives under
+    utm-tagged / fragment-bearing / case-varying / param-reordered
+    aliases). Keeps the min-``id_col`` row per normalized URL; rows
+    with NULL url are all kept (no alias evidence). Adds ``url_norm``.
+
+    Physical shape: one groupBy on md5(url_norm) (the 128-bit digest is
+    the shuffle key — long URLs never shuffle as join keys) + a
+    left-semi join back, identical to exact_dedup's contract. The
+    normalization itself is pure codegen (functions/url.py)."""
+    from streetview_naturevisibility_spark.functions.url import (
+        normalize_url_col,
+    )
+
+    withn = df.withColumn("url_norm", normalize_url_col(url_col))
+    keyed = withn.withColumn("_uk", F.md5("url_norm"))
+    keepers = (
+        keyed.where(F.col("url_norm").isNotNull())
+        .groupBy("_uk")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    kept = keyed.join(keepers, ["_uk", id_col], "left_semi").drop("_uk")
+    nulls = keyed.where(F.col("url_norm").isNull()).drop("_uk")
+    return kept.unionByName(nulls)
+
+
+def domain_rollup(
+    df: DataFrame,
+    url_col: str = "url",
+    tokens_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-registrable-domain corpus profile: page count, distinct
+    normalized URLs, token total — the frame domain-cap / domain-mix
+    policies read (e.g. \"no domain may exceed 0.1% of tokens\").
+
+    -> (domain, n_pages, n_urls, n_tokens) with deterministic output.
+
+    Physical shape: one hash aggregate keyed on the domain string
+    (bounded cardinality — domains, not pages); the distinct-URL count
+    uses the md5 digest so long URLs leave the mapper as 32 hex chars.
+    Skew = the most common domain, reduced map-side by the partial
+    count/count_distinct."""
+    from streetview_naturevisibility_spark.functions.url import (
+        normalize_url_col,
+        registrable_domain_col,
+    )
+    from streetview_naturevisibility_spark.operators.textops import (
+        token_count_col,
+    )
+
+    toks = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.coalesce(token_count_col(text_col), F.lit(0).cast("long"))
+    )
+    return (
+        df.select(
+            registrable_domain_col(url_col).alias("domain"),
+            F.md5(normalize_url_col(url_col)).alias("_uk"),
+            toks.alias("_t"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.count_distinct("_uk").alias("n_urls"),
+            F.sum("_t").alias("n_tokens"),
+        )
+    )

@@ -621,3 +621,70 @@ def duckdb_chunk_dedup(
     ).df()
     con.close()
     return out
+
+
+_URL_TRACK_RE = "^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)="
+_URL_2LBL = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.nz", "co.za",
+)
+
+
+def duckdb_url_norm_and_domain(pages: pd.DataFrame) -> pd.DataFrame:
+    """ANSI-SQL twin of functions/url.normalize_url_col +
+    registrable_domain_col (same pinned suffix list and tracking-param
+    regex, restated in DuckDB list/lambda SQL)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("pages", pages)
+    sfx = ", ".join(f"'{s}'" for s in _URL_2LBL)
+    out = con.sql(
+        f"""
+        WITH t AS (
+          SELECT doc_id, url,
+            lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+            lower(string_split(string_split(
+              regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+              '@')[-1], ':')[1]) AS host,
+            regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+            regexp_extract(url, '\\?([^#]*)', 1) AS query
+          FROM pages),
+        n AS (
+          SELECT doc_id, url, scheme, host,
+            CASE WHEN strlen(path0) > 1 AND path0 LIKE '%/'
+                 THEN substring(path0, 1, strlen(path0) - 1)
+                 ELSE path0 END AS path,
+            array_to_string(list_sort(list_filter(string_split(query, '&'),
+              p -> strlen(p) > 0 AND NOT regexp_matches(p, '{_URL_TRACK_RE}')
+            )), '&') AS qnorm
+          FROM t),
+        d AS (
+          SELECT doc_id, host, string_split(host, '.') AS parts FROM n),
+        d2 AS (
+          SELECT doc_id, host, parts, len(parts) AS np,
+            array_to_string(list_slice(parts, greatest(len(parts)-1, 1), len(parts)), '.') AS last2
+          FROM d),
+        dom AS (
+          SELECT doc_id,
+            CASE WHEN host IS NULL THEN NULL
+                 WHEN np <= (CASE WHEN last2 IN ({sfx}) AND np >= 3 THEN 3 ELSE 2 END)
+                   THEN host
+                 ELSE array_to_string(list_slice(parts,
+                   np - (CASE WHEN last2 IN ({sfx}) AND np >= 3 THEN 3 ELSE 2 END) + 1, np), '.')
+            END AS domain
+          FROM d2)
+        SELECT n.doc_id,
+          CASE WHEN n.url IS NULL THEN NULL
+               ELSE n.scheme || '://' || n.host || n.path ||
+                 (CASE WHEN strlen(n.qnorm) > 0 THEN '?' || n.qnorm ELSE '' END)
+          END AS url_norm,
+          dom.domain
+        FROM n JOIN dom USING (doc_id)
+        ORDER BY n.doc_id
+        """
+    ).df()
+    con.close()
+    return out

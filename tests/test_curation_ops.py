@@ -409,3 +409,96 @@ class TestChunkDedup:
         for r in out:
             assert r.text_deduped == orig[r.doc_id]
             assert r.n_removed == 0 and r.n_chunks == 5
+
+
+from streetview_naturevisibility_spark.functions.url import (
+    normalize_url_col,
+    registrable_domain_col,
+)
+from streetview_naturevisibility_spark.operators.corpus import (
+    domain_rollup,
+    url_dedup,
+)
+from tests.oracle import duckdb_url_norm_and_domain
+
+
+def _url_corpus():
+    return [
+        (0, "https://Example.COM/a/b/?utm_source=x&q=1&a=2#frag"),
+        (1, "https://example.com/a/b?a=2&q=1"),          # alias of 0
+        (2, "HTTP://user:pw@Example.com:80/a/b/"),        # alias path
+        (3, "https://sub.shop.co.uk/p?ref=tw"),
+        (4, "https://shop.co.uk/p"),
+        (5, "https://deep.sub.shop.co.uk/p"),
+        (6, "https://news.example.org/x?fbclid=abc"),
+        (7, "http://localhost/x"),
+        (8, None),
+        (9, "https://example.com/"),                      # root slash kept
+        (10, "https://example.com/?gclid=1"),
+    ]
+
+
+class TestUrlCuration:
+    SCHEMA = "doc_id: long, url: string"
+
+    def test_normalize_and_domain_hand(self, spark):
+        docs = spark.createDataFrame(_url_corpus(), self.SCHEMA)
+        out = {
+            r.doc_id: r
+            for r in docs.select(
+                "doc_id",
+                normalize_url_col("url").alias("u"),
+                registrable_domain_col("url").alias("d"),
+            ).collect()
+        }
+        assert out[0].u == "https://example.com/a/b?a=2&q=1"
+        assert out[1].u == "https://example.com/a/b?a=2&q=1"
+        assert out[2].u == "http://example.com/a/b"
+        assert out[0].d == "example.com"
+        assert out[3].d == "shop.co.uk" and out[5].d == "shop.co.uk"
+        assert out[4].d == "shop.co.uk"
+        assert out[6].d == "example.org"
+        assert out[7].d == "localhost"
+        assert out[8].u is None and out[8].d is None
+        assert out[9].u == "https://example.com/"
+        assert out[10].u == "https://example.com/"
+
+    def test_duckdb_twin(self, spark):
+        import pandas as pd
+
+        rows = _url_corpus()
+        docs = spark.createDataFrame(rows, self.SCHEMA)
+        got = (
+            docs.select(
+                "doc_id",
+                normalize_url_col("url").alias("url_norm"),
+                registrable_domain_col("url").alias("domain"),
+            )
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_url_norm_and_domain(
+            pd.DataFrame(rows, columns=["doc_id", "url"])
+        )
+        for c in ["url_norm", "domain"]:
+            a, b = got[c], want[c]
+            assert (a.isna() == b.isna()).all(), c
+            assert (a.dropna() == b.dropna()).all(), (c, list(a), list(b))
+
+    def test_url_dedup_and_rollup(self, spark):
+        rows = [(i, u, f"body text {i} " * 5) for i, u in _url_corpus()]
+        docs = spark.createDataFrame(rows, self.SCHEMA + ", text: string")
+        kept = url_dedup(docs)
+        ids = {r.doc_id for r in kept.collect()}
+        # aliases 0/1 collapse to 0; 9/10 collapse to 9; NULL url kept
+        assert 0 in ids and 1 not in ids
+        assert 9 in ids and 10 not in ids
+        assert 8 in ids
+        assert "url_norm" in kept.columns
+        roll = {r.domain: r for r in domain_rollup(docs).collect()}
+        assert roll["example.com"].n_pages == 5  # docs 0,1,2,9,10
+        assert roll["example.com"].n_urls == 3   # a/b, a/b(no-?), root
+        assert roll["shop.co.uk"].n_pages == 3
+        assert roll["localhost"].n_pages == 1
+        assert roll[None].n_pages == 1  # the NULL-url doc

@@ -399,6 +399,39 @@ def main() -> None:
         )
     )
 
+    # 14. URL curation: normalization/domain are pure codegen string
+    # algebra; the rollup is ONE hash aggregate keyed on the domain —
+    # no Python, no cartesian, no sort-merge
+    from streetview_naturevisibility_spark.operators.corpus import domain_rollup
+
+    pages14 = spark.createDataFrame(
+        [(i, f"https://sub{i % 7}.example{i % 3}.com/p/{i}?utm_source=x&q={i}", "w " * 10)
+         for i in range(100)],
+        "doc_id: long, url: string, text: string",
+    )
+    dr = domain_rollup(pages14)
+    p14 = plan_of(dr)
+    ok14, n14 = check(
+        "url domain rollup",
+        p14,
+        must=["HashAggregate"],
+        must_not=[
+            "SortMergeJoin",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "CartesianProduct",
+        ],
+    )
+    sections.append(
+        (
+            "URL domain rollup: codegen normalization, one domain-keyed aggregate",
+            dr,
+            p14,
+            ok14,
+            n14,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
