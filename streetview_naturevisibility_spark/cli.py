@@ -256,6 +256,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
     from .operators.dedup import minhash_lsh_pairs
     from .operators.textops import analyze_documents
 
+    if getattr(args, "dsir_target", None) and getattr(args, "dsir_keep", None) is None:
+        raise SystemExit("--dsir-target requires --dsir-keep")
+
     spark = get_spark(app_name="svnv-curate", master=args.master)
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
@@ -382,6 +385,19 @@ def cmd_curate(args: argparse.Namespace) -> None:
     )
 
     out = near
+    if getattr(args, "dsir_target", None):
+        # DSIR importance resampling: keep the --dsir-keep docs whose
+        # hashed-n-gram profile best matches the target domain. Runs
+        # AFTER dedup (the published setup selects from the deduped
+        # pool) and before sampling/budget mixing.
+        from .operators.textops import dsir_select
+
+        tgt = spark.read.parquet(args.dsir_target)
+        n_before_dsir = n_near
+        out = dsir_select(
+            out, tgt, n=args.dsir_keep, n_buckets=args.dsir_buckets
+        ).drop("dsir_logweight")
+        print(f"[dsir] kept={args.dsir_keep} of {n_before_dsir} (target-likeness rank)")
     if args.sample:
         rates = {
             kv.split("=")[0]: float(kv.split("=")[1])
@@ -553,6 +569,15 @@ def main() -> None:
         help="drop docs where the most-repeated 2-gram covers more than "
         "this fraction of characters (Gopher repetition filter)",
     )
+    pc.add_argument(
+        "--dsir-target",
+        default=None,
+        help="parquet of in-domain documents: after near-dedup, keep the "
+        "--dsir-keep docs whose hashed-n-gram profile is most "
+        "target-like (DSIR importance resampling)",
+    )
+    pc.add_argument("--dsir-keep", type=int, default=None)
+    pc.add_argument("--dsir-buckets", type=int, default=10_000)
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

@@ -426,3 +426,113 @@ def cosine_near_dup_pairs(
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
     return (pairs, metrics) if return_metrics else pairs
+
+
+def pairwise_cosine_col(va, vb):
+    """cos(va, vb) for two row vectors as pure JVM folds — the same
+    sequential left-to-right arithmetic as ``cosine_col`` so a DuckDB
+    list_sum/list_transform twin reproduces every value bit-for-bit."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return dot / (norm(va) * norm(vb))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.92,
+    n_lists: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 21,
+    dim: int = 64,
+    keep: str = "closest",
+    max_cluster: int | None = 100_000,
+    return_metrics: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    inside each cluster drop every item that has a near-duplicate
+    (cosine >= ``threshold``) which the keep rule prefers.
+
+    Deterministic, fully SQL-expressible semantics:
+
+    1. cluster = nearest pinned centroid (``pinned_centroids`` — data-
+       independent literal directions, so assignment is pure Column
+       math, no fit, no UDF; ties -> lowest list id);
+    2. ``centroid_cos`` = cosine(vector, assigned centroid);
+    3. item *a* is a DUPLICATE iff some *b* in the same cluster has
+       cosine(a, b) >= threshold and *b* is preferred:
+       ``keep="closest"``  -> b.centroid_cos > a.centroid_cos, ties by
+       lower id; ``keep="farthest"`` (the paper's reported-best
+       variant: keep semantic outliers) -> b.centroid_cos <
+       a.centroid_cos, ties by lower id.
+
+    The preference relation is a strict total order inside a dup
+    group, so exactly the single most-preferred member of every
+    near-dup clique survives — no CC pass needed.
+
+    Returns (id, list_id, centroid_cos rounded to 6, kept). With
+    ``return_metrics`` also returns the lazy cap-metrics frame.
+
+    Scale shape: the 100 TB corpus shuffles ONCE on ``list_id`` for
+    the self-join; pairwise work is sum(|cluster|^2), bounded by
+    ``n_lists`` sizing (SemDeDup's published config uses ~sqrt(N)
+    clusters precisely so clusters stay small) plus the explicit
+    ``max_cluster`` cap with lazy drop metrics (``dedup._cap_buckets``
+    — capped clusters keep all members, they just skip pair
+    generation). Assignment is codegen (no k-means job): a data-FIT
+    quantizer would add one bounded-sample fit like ``build_ivf_index``
+    without changing this plan.
+    """
+    if keep not in ("closest", "farthest"):
+        raise ValueError(f"keep must be 'closest' or 'farthest', got {keep!r}")
+    from .dedup import _cap_buckets
+
+    centroids = pinned_centroids(n_lists, dim, seed)
+    cos_arr = F.array(*[cosine_col(F.col("v"), [float(x) for x in c]) for c in centroids])
+    s = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("list_id", ivf_assign_col(F.col("v"), centroids))
+        .withColumn("ccos", F.element_at(cos_arr, F.col("list_id") + 1))
+    )
+    capped, metrics = _cap_buckets(s, ["list_id"], max_cluster)
+    a, b = capped.alias("a"), capped.alias("b")
+    better = (
+        (F.col("b.ccos") > F.col("a.ccos"))
+        if keep == "closest"
+        else (F.col("b.ccos") < F.col("a.ccos"))
+    )
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .where(pairwise_cosine_col(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
+        .where(
+            better
+            | ((F.col("b.ccos") == F.col("a.ccos")) & (F.col("b.id") < F.col("a.id")))
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    out = (
+        s.join(dominated.withColumn("_dup", F.lit(True)), ["id"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.round("ccos", 6).alias("centroid_cos"),
+            F.col("_dup").isNull().alias("kept"),
+        )
+    )
+    return (out, metrics) if return_metrics else out

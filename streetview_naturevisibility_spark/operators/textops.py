@@ -840,3 +840,150 @@ def chunk_dedup(
         F.coalesce(F.size("_kill"), F.lit(0)).cast("long").alias("n_removed"),
     )
     return out
+
+
+# ------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+# hashed n-gram bucket features, bag-of-buckets bigram-ish language
+# models over a TARGET (in-domain) and a RAW corpus, per-doc importance
+# weight = sum over feature instances of log p_target(b) - log p_raw(b),
+# then deterministic top-n selection. The published method selects raw
+# web documents whose hashed-n-gram profile looks like the target
+# domain — the standard data-selection stage next to quality filtering.
+# ------------------------------------------------------------------
+DSIR_BUCKETS = 10_000
+
+
+def hashed_ngram_buckets_col(text_col: str, n_buckets: int = DSIR_BUCKETS):
+    """Array of hashed unigram+bigram feature buckets for a doc (with
+    multiplicity — DSIR's feature vector counts instances). Pure
+    codegen, portable arithmetic: bucket = int(md5(gram)[0:15 hex]) %
+    n_buckets, the same md5-prefix hash every other portable op in
+    this engine uses, so a DuckDB twin restates it verbatim.
+    Bigram gram string = "w1 w2". Empty text contributes the single
+    empty-string unigram (deterministic; callers gate on quality
+    first); NULL text -> NULL array (absent after explode)."""
+
+    def _bucket(g):
+        return F.pmod(
+            F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+            F.lit(int(n_buckets)),
+        )
+
+    tk = F.split(F.col(text_col), " ")
+    uni = F.transform(tk, _bucket)
+    n_bi = F.greatest(F.size(tk) - 1, F.lit(0))
+    bi = F.zip_with(
+        F.slice(tk, 1, n_bi),
+        F.slice(tk, 2, n_bi),
+        lambda w1, w2: _bucket(F.concat_ws(" ", w1, w2)),
+    )
+    return F.concat(uni, bi)
+
+
+def ngram_bucket_counts(
+    corpus: DataFrame, text_col: str = "text", n_buckets: int = DSIR_BUCKETS
+) -> tuple[DataFrame, DataFrame]:
+    """-> (bucket counts (b, c), total instance count as a LAZY 1-row
+    frame). Explode + one groupBy; the counts table is at most
+    ``n_buckets`` rows — broadcastable regardless of corpus size. Lazy
+    end to end (the train_bigram_lm lesson: declare, don't execute)."""
+    feats = corpus.select(
+        F.explode(hashed_ngram_buckets_col(text_col, n_buckets)).alias("b")
+    )
+    cnt = feats.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.coalesce(F.sum("c"), F.lit(0)).alias("_T"))
+    return cnt, tot
+
+
+def dsir_score(
+    docs: DataFrame,
+    target: DataFrame,
+    raw: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-doc DSIR log importance weight:
+
+        w(doc) = sum over hashed-gram instances b of
+                 log((ct(b)+k)/(Tt+k*B)) - log((cr(b)+k)/(Tr+k*B))
+
+    where (ct, Tt) count the TARGET corpus and (cr, Tr) the RAW pool
+    (``raw`` defaults to ``docs`` itself, the published setup). Higher
+    = more target-like. Smoothing ``k`` handles unseen buckets exactly
+    like the bigram LM's add-k.
+
+    -> (id_col, dsir_logweight, n_feats). NULL-text docs have no
+    features and are ABSENT (callers left-join and decide — same
+    contract as score_bigram_logprob).
+
+    Scale shape: both count tables are <= ``n_buckets`` rows and
+    broadcast; the 1-row totals broadcast-crossJoin in (no eager
+    count). The corpus explodes to ~2x its token count and shuffles
+    ONCE (the per-doc sum). The weight is a floating-point sum whose
+    partial-aggregation order Spark does not fix — compare rounded
+    (the engine rounds to 6; selection ties then break by id).
+    """
+    if raw is None:
+        raw = docs.select(text_col)
+    ct, tt = ngram_bucket_counts(target, text_col, n_buckets)
+    cr, tr = ngram_bucket_counts(raw, text_col, n_buckets)
+    feats = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(hashed_ngram_buckets_col(text_col, n_buckets)).alias("b"),
+    )
+    kB = F.lit(float(k)) * F.lit(float(n_buckets))
+    j = (
+        feats.join(F.broadcast(ct.withColumnRenamed("c", "ct")), ["b"], "left")
+        .join(F.broadcast(cr.withColumnRenamed("c", "cr")), ["b"], "left")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(tr.withColumnRenamed("_T", "_Tr")))
+        .withColumn(
+            "lw",
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(k)))
+                / (F.col("_T").cast("double") + kB)
+            )
+            - F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(float(k)))
+                / (F.col("_Tr").cast("double") + kB)
+            ),
+        )
+    )
+    return (
+        j.groupBy("id")
+        .agg(
+            F.round(F.sum("lw"), 6).alias("dsir_logweight"),
+            F.count(F.lit(1)).alias("n_feats"),
+        )
+        .select(F.col("id").alias(id_col), "dsir_logweight", "n_feats")
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int,
+    raw: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DSIR_BUCKETS,
+    k: float = 1.0,
+) -> DataFrame:
+    """Keep the ``n`` most target-like docs by DSIR weight
+    (deterministic rank: weight desc, id asc — the top-n variant of
+    the paper's Gumbel resampling; unscored NULL-text docs never
+    selected). Returns the full doc rows plus ``dsir_logweight``.
+    The top-n is a TakeOrderedAndProject over the scored frame (no
+    full sort); at 100 TB-scale n one would threshold on an
+    approx-quantile cut instead — same scored frame, filter not sort.
+    """
+    scored = dsir_score(docs, target, raw, text_col, id_col, n_buckets, k)
+    top = (
+        scored.orderBy(F.desc("dsir_logweight"), F.asc(id_col))
+        .limit(int(n))
+        .select(id_col, "dsir_logweight")
+    )
+    return docs.join(top, [id_col])

@@ -688,3 +688,137 @@ def duckdb_url_norm_and_domain(pages: pd.DataFrame) -> pd.DataFrame:
     ).df()
     con.close()
     return out
+
+
+def duckdb_dsir_score(
+    docs: pd.DataFrame,
+    target: pd.DataFrame,
+    n_buckets: int = 10_000,
+    k: float = 1.0,
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.dsir_score (raw = docs):
+    hashed unigram+bigram buckets via the engine's portable md5-prefix
+    hash, add-k smoothed log-ratio of target vs raw bucket
+    distributions, per-doc instance sum. Weight compared with a float
+    tolerance by callers (the per-doc sum's FP order is not fixed in
+    either engine)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    con.register("target", target)
+    B = int(n_buckets)
+    bucket = (
+        "CAST('0x' || substring(md5({g}), 1, 15) AS BIGINT) % " + str(B)
+    )
+    bi_gram = "t[i] || ' ' || t[i+1]"
+    feats = (
+        "list_concat("
+        f"  list_transform(t, w -> {bucket.format(g='w')}),"
+        f"  [{bucket.format(g=bi_gram)}"
+        "    FOR i IN generate_series(1, len(t) - 1)])"
+    )
+    out = con.sql(
+        f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs
+                   WHERE text IS NOT NULL),
+        tg AS (SELECT string_split(text, ' ') AS t FROM target
+               WHERE text IS NOT NULL),
+        dfeat AS (SELECT doc_id, unnest({feats}) AS b FROM d),
+        tfeat AS (SELECT unnest({feats}) AS b FROM tg),
+        ct AS (SELECT b, count(*) AS c FROM tfeat GROUP BY b),
+        cr AS (SELECT b, count(*) AS c FROM dfeat GROUP BY b),
+        tt AS (SELECT coalesce(sum(c), 0) AS T FROM ct),
+        tr AS (SELECT coalesce(sum(c), 0) AS T FROM cr)
+        SELECT doc_id,
+               round(sum(
+                   ln((coalesce(ct.c, 0) + {k}) / (tt.T + {k} * {B}))
+                 - ln((coalesce(cr.c, 0) + {k}) / (tr.T + {k} * {B}))
+               ), 6) AS dsir_logweight,
+               count(*) AS n_feats
+        FROM dfeat
+        LEFT JOIN ct USING (b)
+        LEFT JOIN cr USING (b)
+        CROSS JOIN tt CROSS JOIN tr
+        GROUP BY doc_id
+        ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    return out
+
+
+def duckdb_semantic_dedup(
+    emb: pd.DataFrame,
+    threshold: float = 0.92,
+    n_lists: int = 8,
+    dim: int = 64,
+    seed: int = 21,
+    keep: str = "closest",
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/similarity.semantic_dedup (no
+    cluster cap): pinned-centroid assignment restated as literal
+    list-lambda arithmetic (the _ivf_oracle_sql pattern — same
+    sequential-fold FP order as the engine's F.aggregate), centroid
+    cosine via the engine's literal query-norm, within-cluster
+    dominance pairs in plain SQL."""
+    import duckdb
+
+    from streetview_naturevisibility_spark.operators.similarity import (
+        pinned_centroids,
+    )
+
+    cents = pinned_centroids(n_lists, dim, seed)
+    lit = lambda c: "[" + ", ".join(repr(float(v)) for v in c) + "]"  # noqa: E731
+
+    def sqd(vec, c):
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lit(c)}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+        )
+
+    def norm(vec):
+        return (
+            f"sqrt(list_sum(list_transform({vec},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    def ccos(vec, c):
+        nq = repr(float(np.sqrt(np.sum(np.asarray(c, dtype=np.float64) ** 2))))
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lit(c)}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2])) / ({norm(vec)} * {nq})"
+        )
+
+    dl = "[" + ",\n      ".join(sqd("embedding", c) for c in cents) + "]"
+    ca = "[" + ",\n      ".join(ccos("embedding", c) for c in cents) + "]"
+    paircos = (
+        "list_sum(list_transform(list_zip(a.v, b.v),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / ({norm('a.v')} * {norm('b.v')})"
+    )
+    better = "b.ccos < a.ccos" if keep == "farthest" else "b.ccos > a.ccos"
+    con = duckdb.connect()
+    con.register("emb", emb)
+    out = con.sql(
+        f"""
+        WITH s0 AS (SELECT vec_id AS id, embedding AS v,
+                           {dl} AS dl, {ca} AS ca
+                    FROM emb),
+        s AS (SELECT id, v,
+                     list_position(dl, list_min(dl)) - 1 AS list_id,
+                     ca[list_position(dl, list_min(dl))] AS ccos
+              FROM s0),
+        dom AS (SELECT DISTINCT a.id
+                FROM s a JOIN s b
+                  ON a.list_id = b.list_id AND a.id <> b.id
+                WHERE {paircos} >= {threshold}
+                  AND ({better} OR (b.ccos = a.ccos AND b.id < a.id)))
+        SELECT id AS vec_id, CAST(list_id AS INT) AS list_id,
+               round(ccos, 6) AS centroid_cos,
+               id NOT IN (SELECT id FROM dom) AS kept
+        FROM s ORDER BY vec_id
+        """
+    ).df()
+    con.close()
+    return out

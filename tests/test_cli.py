@@ -333,6 +333,77 @@ class TestCurate:
         got = {r.doc_id: r.text for r in cur.collect()}
         assert sum(1 for t in got.values() if t.startswith(shared)) == 1
 
+    def test_dsir_stage_keeps_target_like_docs(self, spark, tmp_path, capsys):
+        """--dsir-target/--dsir-keep: after dedup, the kept docs are the
+        most target-like by hashed-n-gram importance weight — the
+        in-domain docs all outrank the out-of-domain ones."""
+        import pandas as pd
+
+        voc_a = ["apple", "banana", "cherry", "date", "elder", "fig"]
+        voc_b = ["quark", "lepton", "boson", "gluon", "meson", "hadron"]
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        rows = []
+        for i in range(20):
+            voc = voc_a if i < 10 else voc_b
+            rows.append((i, " ".join(voc[j] for j in rng.randint(0, 6, size=25))))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        target = str(tmp_path / "target.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": list(range(5)),
+                "text": [
+                    " ".join(voc_a[j] for j in rng.randint(0, 6, size=20))
+                    for _ in range(5)
+                ],
+            }
+        ).to_parquet(target, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.99,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            dsir_target=target,
+            dsir_keep=10,
+            dsir_buckets=512,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[dsir] kept=10 of " in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        kept = sorted(r.doc_id for r in cur.collect())
+        assert kept == list(range(10))  # exactly the in-domain docs
+        assert "dsir_logweight" not in cur.columns
+
+    def test_dsir_target_requires_keep(self, tmp_path):
+        with pytest.raises(SystemExit, match="dsir-keep"):
+            cli.cmd_curate(
+                _ns(
+                    docs="/root/testdata/sf0.001/documents.parquet",
+                    out=str(tmp_path / "cur"),
+                    min_quality=0.0,
+                    jaccard=0.5,
+                    max_bucket=10_000,
+                    sample=None,
+                    default_rate=1.0,
+                    dsir_target="/root/testdata/sf0.001/documents.parquet",
+                    dsir_keep=None,
+                )
+            )
 
 
 class TestLayout:

@@ -1,0 +1,325 @@
+"""DSIR importance resampling + SemDeDup semantic dedup.
+
+Oracles: a dict/Counter Python reimplementation of the DSIR weight
+(same md5-prefix hash), DuckDB list-lambda twins for both operators
+(tests/oracle.py), and structural hand goldens for the SemDeDup keep
+rule (planted exact/near/far embedding groups with margin-safe
+cosines).
+"""
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.operators.similarity import (
+    pinned_centroids,
+    semantic_dedup,
+)
+from streetview_naturevisibility_spark.operators.textops import (
+    dsir_score,
+    dsir_select,
+)
+from tests.oracle import duckdb_dsir_score, duckdb_semantic_dedup
+
+# ------------------------------------------------------------------
+# DSIR
+# ------------------------------------------------------------------
+VOCAB_A = ["apple", "banana", "cherry", "date", "elder", "fig"]
+VOCAB_B = ["quark", "lepton", "boson", "gluon", "meson", "hadron"]
+
+
+def _mk_docs():
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(30):
+        vocab = VOCAB_A if i % 2 == 0 else VOCAB_B
+        words = [vocab[j] for j in rng.randint(0, len(vocab), size=12)]
+        rows.append((i, " ".join(words)))
+    rows.append((100, ""))  # empty text: one (empty-unigram) feature
+    rows.append((101, None))  # NULL text: absent from scores
+    # exact duplicate pair for the tie-break test
+    rows.append((200, "apple banana apple"))
+    rows.append((201, "apple banana apple"))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _mk_target():
+    rng = np.random.RandomState(12)
+    rows = []
+    for i in range(20):
+        words = [VOCAB_A[j] for j in rng.randint(0, len(VOCAB_A), size=10)]
+        rows.append((i, " ".join(words)))
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def _py_buckets(text: str, n_buckets: int) -> list[int]:
+    toks = text.split(" ")
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return [
+        int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets
+        for g in grams
+    ]
+
+
+def _py_dsir(docs: pd.DataFrame, target: pd.DataFrame, n_buckets: int, k: float):
+    """Counter-based oracle of dsir_score with raw = docs."""
+    ct: Counter = Counter()
+    for t in target["text"]:
+        if t is not None:
+            ct.update(_py_buckets(t, n_buckets))
+    cr: Counter = Counter()
+    feats = {}
+    for _, r in docs.iterrows():
+        if r["text"] is None:
+            continue
+        fb = _py_buckets(r["text"], n_buckets)
+        feats[r["doc_id"]] = fb
+        cr.update(fb)
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for did, fb in feats.items():
+        w = sum(
+            math.log((ct.get(b, 0) + k) / (tt + k * n_buckets))
+            - math.log((cr.get(b, 0) + k) / (tr + k * n_buckets))
+            for b in fb
+        )
+        out[did] = (w, len(fb))
+    return out
+
+
+B = 512  # small bucket count so collisions are exercised
+K = 1.0
+
+
+def test_dsir_score_matches_counter_oracle(spark):
+    docs, target = _mk_docs(), _mk_target()
+    got = (
+        dsir_score(
+            spark.createDataFrame(docs),
+            spark.createDataFrame(target),
+            n_buckets=B,
+            k=K,
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    exp = _py_dsir(docs, target, B, K)
+    assert [r.doc_id for r in got] == sorted(exp)  # 101 (NULL) absent
+    for r in got:
+        w, n = exp[r.doc_id]
+        assert r.n_feats == n
+        assert r.dsir_logweight == pytest.approx(w, abs=2e-6)
+    # empty doc scored off its single empty-unigram feature
+    assert exp[100][1] == 1
+
+
+def test_dsir_in_domain_scores_higher(spark):
+    docs, target = _mk_docs(), _mk_target()
+    got = dsir_score(
+        spark.createDataFrame(docs), spark.createDataFrame(target), n_buckets=B
+    ).collect()
+    w = {r.doc_id: r.dsir_logweight for r in got}
+    wa = [w[i] for i in range(30) if i % 2 == 0]
+    wb = [w[i] for i in range(30) if i % 2 == 1]
+    assert min(wa) > max(wb)
+
+
+def test_dsir_score_matches_duckdb_twin(spark):
+    docs, target = _mk_docs(), _mk_target()
+    got = (
+        dsir_score(
+            spark.createDataFrame(docs),
+            spark.createDataFrame(target),
+            n_buckets=B,
+            k=K,
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = duckdb_dsir_score(docs, target, n_buckets=B, k=K)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["n_feats"]) == list(exp["n_feats"])
+    np.testing.assert_allclose(
+        got["dsir_logweight"], exp["dsir_logweight"], atol=2e-6
+    )
+
+
+def test_dsir_select_topn_deterministic(spark):
+    docs, target = _mk_docs(), _mk_target()
+    sel = dsir_select(
+        spark.createDataFrame(docs),
+        spark.createDataFrame(target),
+        n=17,
+        n_buckets=B,
+    )
+    ids = sorted(r.doc_id for r in sel.select("doc_id").collect())
+    # the 15 in-domain docs outrank everything; the duplicate pair
+    # "apple banana apple" (pure vocab-A) fills the last 2 slots —
+    # equal weights, both inside n so both kept
+    assert ids == [i for i in range(30) if i % 2 == 0] + [200, 201]
+    # tie-break by id: with n=16 only doc 200 of the equal-weight pair
+    sel16 = dsir_select(
+        spark.createDataFrame(docs),
+        spark.createDataFrame(target),
+        n=16,
+        n_buckets=B,
+    )
+    ids16 = sorted(r.doc_id for r in sel16.select("doc_id").collect())
+    assert 200 in ids16 and 201 not in ids16
+    # full doc rows + weight column come back
+    assert set(sel.columns) == {"doc_id", "text", "dsir_logweight"}
+
+
+# ------------------------------------------------------------------
+# SemDeDup
+# ------------------------------------------------------------------
+DIM, NL, SEED, THR = 8, 4, 21, 0.92
+
+
+def _unit(v):
+    v = np.asarray(v, dtype=np.float64)
+    return v / np.sqrt((v**2).sum())
+
+
+def _mk_emb():
+    """Planted structure with margin-safe cosines: an exact-dup pair,
+    a near-dup pair (cos ~0.999), a sub-threshold pair (cos < 0.8),
+    isolated vectors, and one NULL embedding."""
+    rng = np.random.RandomState(5)
+    rows = []
+    base = _unit(rng.randn(DIM))
+    rows.append((100, [float(x) for x in base]))  # exact dup pair
+    rows.append((101, [float(x) for x in base]))
+    nb = _unit(rng.randn(DIM))
+    rows.append((200, [float(x) for x in nb]))  # near-dup pair
+    rows.append((201, [float(x) for x in _unit(nb + 0.02 * rng.randn(DIM))]))
+    far = _unit(rng.randn(DIM))
+    rows.append((300, [float(x) for x in far]))  # far pair: orthogonal-ish
+    rows.append((301, [float(x) for x in _unit(rng.randn(DIM))]))
+    for i in range(10):  # background isolated vectors
+        rows.append((400 + i, [float(x) for x in _unit(rng.randn(DIM))]))
+    rows.append((999, None))
+    return pd.DataFrame(rows, columns=["vec_id", "embedding"])
+
+
+def _np_assign_ccos(v):
+    cents = pinned_centroids(NL, DIM, SEED)
+    d = ((cents - np.asarray(v)) ** 2).sum(axis=1)
+    lid = int(d.argmin())
+    c = cents[lid]
+    cc = float(
+        np.dot(v, c) / (np.sqrt(np.dot(v, v)) * np.sqrt(np.dot(c, c)))
+    )
+    return lid, cc
+
+
+def _spark_emb(spark, pdf):
+    return spark.createDataFrame(
+        [(int(r.vec_id), r.embedding) for r in pdf.itertuples()],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+def test_semantic_dedup_keep_rules(spark):
+    pdf = _mk_emb()
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _spark_emb(spark, pdf), threshold=THR, n_lists=NL, dim=DIM
+        ).collect()
+    }
+    # exact-dup pair: equal centroid_cos -> lower id survives
+    assert out[100].kept and not out[101].kept
+    assert out[100].centroid_cos == out[101].centroid_cos
+    # near-dup pair: exactly one survives — the one closer to the
+    # centroid (margin-safe: numpy ccos diff >> fold ulp)
+    l0, c0 = _np_assign_ccos(pdf.loc[pdf.vec_id == 200, "embedding"].iloc[0])
+    l1, c1 = _np_assign_ccos(pdf.loc[pdf.vec_id == 201, "embedding"].iloc[0])
+    if l0 == l1:  # same cluster: keep rule applies
+        assert abs(c0 - c1) > 1e-9
+        winner, loser = (200, 201) if c0 > c1 else (201, 200)
+        assert out[winner].kept and not out[loser].kept
+    # sub-threshold + isolated vectors all kept
+    for vid in [300, 301] + [400 + i for i in range(10)]:
+        assert out[vid].kept
+    # NULL embedding: kept, NULL cluster
+    assert out[999].kept and out[999].list_id is None
+
+
+def test_semantic_dedup_keep_farthest_flips_winner(spark):
+    pdf = _mk_emb()
+    l0, c0 = _np_assign_ccos(pdf.loc[pdf.vec_id == 200, "embedding"].iloc[0])
+    l1, c1 = _np_assign_ccos(pdf.loc[pdf.vec_id == 201, "embedding"].iloc[0])
+    if l0 != l1:
+        pytest.skip("near-dup pair straddles clusters for this seed")
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup(
+            _spark_emb(spark, pdf),
+            threshold=THR,
+            n_lists=NL,
+            dim=DIM,
+            keep="farthest",
+        ).collect()
+    }
+    winner = 200 if c0 < c1 else 201
+    loser = 201 if winner == 200 else 200
+    assert out[winner].kept and not out[loser].kept
+    # exact ties unaffected by the flip: lower id still wins
+    assert out[100].kept and not out[101].kept
+
+
+def test_semantic_dedup_matches_duckdb_twin(spark):
+    pdf = _mk_emb()
+    got = (
+        semantic_dedup(
+            _spark_emb(spark, pdf),
+            threshold=THR,
+            n_lists=NL,
+            dim=DIM,
+            max_cluster=None,
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    exp = duckdb_semantic_dedup(
+        pdf, threshold=THR, n_lists=NL, dim=DIM, seed=SEED
+    )
+    assert list(got["vec_id"]) == list(exp["vec_id"])
+    assert list(got["kept"]) == list(exp["kept"])
+    ga = got["list_id"].astype("float64")
+    ea = exp["list_id"].astype("float64")
+    assert list(ga.fillna(-1)) == list(ea.fillna(-1))
+    np.testing.assert_allclose(
+        got["centroid_cos"].fillna(0.0),
+        exp["centroid_cos"].fillna(0.0),
+        atol=1e-9,
+    )
+
+
+def test_semantic_dedup_cluster_cap_drops_pairs_with_metrics(spark):
+    pdf = _mk_emb()
+    out, metrics = semantic_dedup(
+        _spark_emb(spark, pdf),
+        threshold=THR,
+        n_lists=NL,
+        dim=DIM,
+        max_cluster=1,
+        return_metrics=True,
+    )
+    # every cluster over the cap skips pair generation: nothing dropped
+    rows = out.collect()
+    assert all(r.kept for r in rows)
+    m = metrics.collect()[0]
+    assert m.dropped_buckets >= 1 and m.dropped_members >= 2
+
+
+def test_semantic_dedup_rejects_bad_keep(spark):
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(_spark_emb(spark, _mk_emb()), keep="best")

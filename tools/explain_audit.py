@@ -432,6 +432,66 @@ def main() -> None:
         )
     )
 
+    # 15. DSIR importance scoring: both bucket-count tables (<= B rows)
+    # broadcast into the exploded corpus; the 1-row totals broadcast-
+    # crossJoin; the only shuffle is the per-doc sum. Pure codegen
+    # feature hashing — no Python anywhere.
+    from streetview_naturevisibility_spark.operators.textops import dsir_score
+
+    docs15 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    target15 = docs15.where(F.col("lang") == "en").select("text")
+    ds = dsir_score(docs15, target15, n_buckets=1024)
+    p15 = plan_of(ds)
+    ok15, n15 = check(
+        "dsir score",
+        p15,
+        must=["BroadcastHashJoin", "HashAggregate"],
+        must_not=[
+            "SortMergeJoin",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "CartesianProduct",
+        ],
+    )
+    sections.append(
+        (
+            "DSIR importance scoring: broadcast count tables, one per-doc-sum shuffle",
+            ds,
+            p15,
+            ok15,
+            n15,
+        )
+    )
+
+    # 16. SemDeDup semantic dedup: pinned-centroid assignment is pure
+    # Column math (no fit job, no UDF); the corpus shuffles on list_id
+    # for the within-cluster pair join — no Python, no cartesian.
+    from streetview_naturevisibility_spark.operators.similarity import semantic_dedup
+
+    emb16 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sd = semantic_dedup(emb16, threshold=0.92, n_lists=8, dim=64)
+    p16 = plan_of(sd)
+    ok16, n16 = check(
+        "semantic dedup",
+        p16,
+        must=["HashAggregate"],
+        must_not=[
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+        ],
+    )
+    sections.append(
+        (
+            "SemDeDup: codegen centroid assignment, cluster-keyed pair join",
+            sd,
+            p16,
+            ok16,
+            n16,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
