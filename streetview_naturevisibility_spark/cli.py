@@ -385,6 +385,34 @@ def cmd_curate(args: argparse.Namespace) -> None:
     )
 
     out = near
+    if getattr(args, "semdedup", None):
+        # SemDeDup semantic dedup: embeddings parquet keyed by vec_id
+        # == doc_id; docs whose embedding has a preferred within-
+        # cluster near-duplicate are dropped. Docs WITHOUT an
+        # embedding row are kept (an unembedded doc is not a dup —
+        # same keep-on-unscorable contract as the LM filter).
+        from .operators.similarity import semantic_dedup
+
+        emb = spark.read.parquet(args.semdedup)
+        big = getattr(args, "semdedup_lists", 8) > 32
+        sd = semantic_dedup(
+            emb,
+            threshold=getattr(args, "semdedup_threshold", 0.92),
+            n_lists=getattr(args, "semdedup_lists", 8),
+            dim=getattr(args, "semdedup_dim", 64),
+            # scale path past the literal-Column limit: Arrow matmul
+            # assignment + per-cluster BLAS dominance (10.9x vs the
+            # pair join at 1M vectors, identical outputs)
+            assign="udf" if big else "column",
+            pairs="local" if big else "join",
+        )
+        dup_ids = sd.where(~F.col("kept")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        n_before_sd = out.count()
+        out = out.join(dup_ids, "doc_id", "left_anti")
+        n_after_sd = out.count()
+        print(f"[semdedup] dropped={n_before_sd - n_after_sd} semantic near-dups")
     if getattr(args, "dsir_target", None):
         # DSIR importance resampling: keep the --dsir-keep docs whose
         # hashed-n-gram profile best matches the target domain. Runs
@@ -578,6 +606,16 @@ def main() -> None:
     )
     pc.add_argument("--dsir-keep", type=int, default=None)
     pc.add_argument("--dsir-buckets", type=int, default=10_000)
+    pc.add_argument(
+        "--semdedup",
+        default=None,
+        help="embeddings parquet (vec_id == doc_id): drop docs whose "
+        "embedding has a preferred within-cluster near-duplicate "
+        "(SemDeDup); docs without an embedding are kept",
+    )
+    pc.add_argument("--semdedup-threshold", type=float, default=0.92)
+    pc.add_argument("--semdedup-lists", type=int, default=8)
+    pc.add_argument("--semdedup-dim", type=int, default=64)
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

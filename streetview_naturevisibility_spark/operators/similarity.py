@@ -447,6 +447,113 @@ def pairwise_cosine_col(va, vb):
     return dot / (norm(va) * norm(vb))
 
 
+def make_assign_ccos_udf(centroids: np.ndarray):
+    """(list id, cosine-to-assigned-centroid, UNIT-NORMALIZED vector)
+    per input vector in ONE Arrow pass — a matmul per batch, so
+    ``n_lists`` can be thousands (the SemDeDup sqrt(N)-clusters
+    regime) without the literal-expression blowup of the pure-Column
+    path. Emitting the normalized vector here means the downstream
+    pair join computes cosine as a SINGLE dot-product fold instead of
+    dot + two norms (3x fewer higher-order-function evaluations on the
+    quadratic pair stream — measured 3.4x on the 1M-vector bench
+    leg)."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cnorm = np.sqrt((centroids**2).sum(axis=1))
+    out_t = StructType(
+        [
+            StructField("list_id", IntegerType()),
+            StructField("ccos", DoubleType()),
+            StructField("vn", ArrayType(DoubleType())),
+        ]
+    )
+
+    cn2 = (centroids**2).sum(axis=1)
+    ct = np.ascontiguousarray(centroids.T)
+
+    @F.pandas_udf(out_t)
+    def assign_ccos(vecs: pd.Series) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "list_id": pd.array([pd.NA] * len(vecs), dtype="Int32"),
+                "ccos": pd.array([pd.NA] * len(vecs), dtype="Float64"),
+                "vn": [None] * len(vecs),
+            }
+        )
+        mask = vecs.notna().to_numpy()
+        if not mask.any():
+            return out
+        mat = np.stack(
+            vecs[mask].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+        )
+        nrow = len(mat)
+        vnorm = np.sqrt((mat**2).sum(axis=1))
+        v2 = vnorm**2
+        lid = np.empty(nrow, dtype=np.int64)
+        # Chunked, buffer-reusing distance computation: a full
+        # (batch x n_lists) float64 matrix at 10k x 4096 is ~330 MB
+        # and the naive expression allocates several of them PER
+        # BATCH — with N workers that is an mmap/page-fault storm
+        # (measured >95% system CPU, 673 s for the 1M-vector leg).
+        # One 4096-row scratch buffer reused in place keeps the
+        # resident set flat.
+        CH = 4096
+        dbuf = np.empty((min(CH, nrow), len(cn2)))
+        for s0 in range(0, nrow, CH):
+            e = min(s0 + CH, nrow)
+            nb = e - s0
+            np.matmul(mat[s0:e], ct, out=dbuf[:nb])
+            dbuf[:nb] *= -2.0
+            dbuf[:nb] += cn2[None, :]
+            dbuf[:nb] += v2[s0:e, None]
+            lid[s0:e] = dbuf[:nb].argmin(axis=1)
+        # dot(v, assigned centroid) recomputed cheaply (nrow x dim)
+        dd = np.einsum("ij,ij->i", mat, centroids[lid])
+        cc = dd / (vnorm * cnorm[lid])
+        out.loc[mask, "list_id"] = lid.astype(np.int32)
+        out.loc[mask, "ccos"] = cc
+        out.loc[mask, "vn"] = pd.Series(
+            list(mat / vnorm[:, None]), index=out.index[mask]
+        )
+        return out
+
+    return assign_ccos
+
+
+def _local_cluster_dups(capped: DataFrame, threshold: float, keep: str) -> DataFrame:
+    """Dominated ids per cluster via ONE applyInPandas pass: blocked
+    ``m @ m.T`` cosine matrix (unit vectors -> dot == cosine) and a
+    vectorized dominance reduction. Row-chunked so a cluster at the
+    ``max_cluster`` cap stays ~80 MB of scratch, not O(c^2) resident
+    (the allocation-storm lesson from make_assign_ccos_udf)."""
+    from pyspark.sql.types import StructField, StructType
+
+    out_t = StructType([StructField("id", capped.schema["id"].dataType)])
+    flip = keep == "farthest"
+    thr = float(threshold)
+
+    def f(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf[pdf["vn"].notna()]
+        n = len(pdf)
+        if n < 2:
+            return pdf.iloc[0:0][["id"]]
+        m = np.stack(pdf["vn"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        ids = pdf["id"].to_numpy()
+        cc = pdf["ccos"].to_numpy(dtype=np.float64)
+        dom = np.zeros(n, dtype=bool)
+        ch = max(1, 10_000_000 // n)
+        for s0 in range(0, n, ch):
+            e = min(s0 + ch, n)
+            sims = m[s0:e] @ m.T
+            bet = (cc[None, :] < cc[s0:e, None]) if flip else (cc[None, :] > cc[s0:e, None])
+            bet |= (cc[None, :] == cc[s0:e, None]) & (ids[None, :] < ids[s0:e, None])
+            bet[np.arange(e - s0), np.arange(s0, e)] = False
+            dom[s0:e] = ((sims >= thr) & bet).any(axis=1)
+        return pdf.loc[dom, ["id"]]
+
+    return capped.groupBy("list_id").applyInPandas(f, out_t)
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.92,
@@ -457,6 +564,8 @@ def semantic_dedup(
     dim: int = 64,
     keep: str = "closest",
     max_cluster: int | None = 100_000,
+    assign: str = "column",
+    pairs: str = "join",
     return_metrics: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -493,18 +602,73 @@ def semantic_dedup(
     generation). Assignment is codegen (no k-means job): a data-FIT
     quantizer would add one bounded-sample fit like ``build_ivf_index``
     without changing this plan.
+
+    ``assign="column"`` (default) is the oracle-exact literal-Column
+    path — right for small ``n_lists``. ``assign="udf"`` computes
+    (list_id, ccos, unit-normalized vector) in one chunked Arrow
+    matmul per batch (``make_assign_ccos_udf``) so ``n_lists`` can be
+    thousands — the sqrt(N)-clusters production shape.
+
+    ``pairs="join"`` (default) evaluates the within-cluster dominance
+    predicate as a JVM equi-join — oracle-exact arithmetic, and the
+    only option for ``assign="column"``. ``pairs="local"`` (requires
+    ``assign="udf"``) replaces the pair join with ONE
+    groupBy(list_id).applyInPandas pass: per cluster, a blocked
+    ``m @ m.T`` cosine matrix and a vectorized dominance reduction —
+    the same single shuffle on list_id, but the quadratic inner loop
+    runs as BLAS instead of per-pair interpreted array folds
+    (measured 10.9x on the 1M-vector leg — 121.2 s vs 11.2 s,
+    identical outputs; see BENCH/BASELINE.md).
+    Pairwise dots differ from the fold path in the last ulp (BLAS
+    summation order), so decisions exactly AT the threshold may
+    differ — callers needing twin-exact arithmetic use "join".
     """
     if keep not in ("closest", "farthest"):
         raise ValueError(f"keep must be 'closest' or 'farthest', got {keep!r}")
+    if assign not in ("column", "udf"):
+        raise ValueError(f"assign must be 'column' or 'udf', got {assign!r}")
+    if pairs not in ("join", "local"):
+        raise ValueError(f"pairs must be 'join' or 'local', got {pairs!r}")
+    if pairs == "local" and assign != "udf":
+        raise ValueError("pairs='local' requires assign='udf' (needs vn)")
     from .dedup import _cap_buckets
 
     centroids = pinned_centroids(n_lists, dim, seed)
-    cos_arr = F.array(*[cosine_col(F.col("v"), [float(x) for x in c]) for c in centroids])
-    s = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("list_id", ivf_assign_col(F.col("v"), centroids))
-        .withColumn("ccos", F.element_at(cos_arr, F.col("list_id") + 1))
-    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if assign == "udf":
+        # scale path: one Arrow matmul per batch — n_lists can be
+        # thousands (sqrt(N) clusters keeps the pair join near-linear);
+        # the pure-Column path below is the oracle-exact small-k twin.
+        # The UDF emits the unit-normalized vector so the pair stage
+        # is a single dot fold; the frame is persisted across its four
+        # consumers (cap sizes, both join sides, output) with the knn
+        # materialize lifecycle — assignment computes ONCE.
+        ac = make_assign_ccos_udf(centroids)
+        s = base.withColumn("_ac", ac(F.col("v"))).select(
+            "id",
+            F.col("_ac.list_id").alias("list_id"),
+            F.col("_ac.ccos").alias("ccos"),
+            F.col("_ac.vn").alias("vn"),
+        )
+        pair_sim = F.aggregate(
+            F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        materialize = True
+    else:
+        cos_arr = F.array(
+            *[cosine_col(F.col("v"), [float(x) for x in c]) for c in centroids]
+        )
+        s = base.withColumn(
+            "list_id", ivf_assign_col(F.col("v"), centroids)
+        ).withColumn("ccos", F.element_at(cos_arr, F.col("list_id") + 1))
+        # oracle-exact pair arithmetic (dot / (|a| |b|)) — the DuckDB
+        # twin restates it verbatim; no persist (cheap codegen frame)
+        pair_sim = pairwise_cosine_col(F.col("a.v"), F.col("b.v"))
+        materialize = False
+    if materialize:
+        s = s.persist()
     capped, metrics = _cap_buckets(s, ["list_id"], max_cluster)
     a, b = capped.alias("a"), capped.alias("b")
     better = (
@@ -512,20 +676,34 @@ def semantic_dedup(
         if keep == "closest"
         else (F.col("b.ccos") < F.col("a.ccos"))
     )
-    dominated = (
-        a.join(
-            b,
-            (F.col("a.list_id") == F.col("b.list_id"))
-            & (F.col("a.id") != F.col("b.id")),
+    if pairs == "local":
+        dominated = _local_cluster_dups(capped, threshold, keep)
+    else:
+        dominated = (
+            a.join(
+                b,
+                (F.col("a.list_id") == F.col("b.list_id"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .where(pair_sim >= F.lit(threshold))
+            .where(
+                better
+                | (
+                    (F.col("b.ccos") == F.col("a.ccos"))
+                    & (F.col("b.id") < F.col("a.id"))
+                )
+            )
+            .select(F.col("a.id").alias("id"))
+            .distinct()
         )
-        .where(pairwise_cosine_col(F.col("a.v"), F.col("b.v")) >= F.lit(threshold))
-        .where(
-            better
-            | ((F.col("b.ccos") == F.col("a.ccos")) & (F.col("b.id") < F.col("a.id")))
-        )
-        .select(F.col("a.id").alias("id"))
-        .distinct()
-    )
+    if materialize:
+        # knn lifecycle: the (small, dup-ids-only) frame is eagerly
+        # checkpointed to cut lineage, then the assignment cache is
+        # released — the output's action recomputes the Arrow matmul
+        # exactly once more, and a long-lived session leaks nothing.
+        # Note this makes the dedup compute at CALL time.
+        dominated = dominated.localCheckpoint(eager=True)
+        s.unpersist()
     out = (
         s.join(dominated.withColumn("_dup", F.lit(True)), ["id"], "left")
         .select(

@@ -47,6 +47,17 @@ def get_spark(
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32 in the
     sandbox); on a real cluster pass None and let spark-submit decide.
     """
+    # One BLAS thread per Python worker. local[N] runs N workers forked
+    # from a daemon that inherits this environment; without the pin,
+    # every worker's OpenBLAS spawns a full core-count thread pool and
+    # N x N spin-waiting threads drive the box into >95% SYSTEM time
+    # (measured: the 1M x 4096-centroid SemDeDup assignment matmul sat
+    # at 20+ min of sys-thrash vs ~1 min pinned). Must run BEFORE the
+    # JVM starts so the env reaches the workers; pre-set values win.
+    # On a real cluster do the same via spark.executorEnv.*.
+    for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None:
         master = f"local[{cpus}]"

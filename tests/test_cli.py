@@ -389,6 +389,74 @@ class TestCurate:
         assert kept == list(range(10))  # exactly the in-domain docs
         assert "dsir_logweight" not in cur.columns
 
+    def test_semdedup_stage_drops_embedding_near_dups(
+        self, spark, tmp_path, capsys
+    ):
+        """--semdedup: of a pair of docs with identical embeddings the
+        lower doc_id survives; docs with no embedding row are kept."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(9)
+
+        def unit(v):
+            return [float(x) for x in v / np.sqrt((v**2).sum())]
+
+        rows = []
+        for i in range(6):
+            body = " ".join(f"word{i}x{j} tok{(i * 5 + j) % 13}" for j in range(25))
+            rows.append((i, body))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        base = rng.randn(8)
+        emb = pd.DataFrame(
+            {
+                # docs 0 and 1 share an embedding; 2-4 distinct; 5 has
+                # NO embedding row
+                "vec_id": [0, 1, 2, 3, 4],
+                "embedding": [
+                    unit(base),
+                    unit(base),
+                    unit(rng.randn(8)),
+                    unit(rng.randn(8)),
+                    unit(rng.randn(8)),
+                ],
+            }
+        )
+        embp = str(tmp_path / "emb.parquet")
+        spark.createDataFrame(
+            [(int(r.vec_id), r.embedding) for r in emb.itertuples()],
+            "vec_id bigint, embedding array<double>",
+        ).write.mode("overwrite").parquet(embp)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.99,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            semdedup=embp,
+            semdedup_threshold=0.95,
+            semdedup_lists=4,
+            semdedup_dim=8,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[semdedup] dropped=1 semantic near-dups" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        kept = sorted(r.doc_id for r in cur.collect())
+        assert kept == [0, 2, 3, 4, 5]  # 1 dropped; unembedded 5 kept
+
     def test_dsir_target_requires_keep(self, tmp_path):
         with pytest.raises(SystemExit, match="dsir-keep"):
             cli.cmd_curate(

@@ -323,3 +323,80 @@ def test_semantic_dedup_cluster_cap_drops_pairs_with_metrics(spark):
 def test_semantic_dedup_rejects_bad_keep(spark):
     with pytest.raises(ValueError, match="keep"):
         semantic_dedup(_spark_emb(spark, _mk_emb()), keep="best")
+    with pytest.raises(ValueError, match="assign"):
+        semantic_dedup(_spark_emb(spark, _mk_emb()), assign="fit")
+    with pytest.raises(ValueError, match="pairs"):
+        semantic_dedup(_spark_emb(spark, _mk_emb()), pairs="bucket")
+    with pytest.raises(ValueError, match="requires assign"):
+        semantic_dedup(_spark_emb(spark, _mk_emb()), pairs="local")
+
+
+@pytest.mark.parametrize("keep", ["closest", "farthest"])
+def test_semantic_dedup_local_pairs_matches_join(spark, keep):
+    """pairs='local' (per-cluster BLAS dominance) must agree with the
+    pair-join path on kept sets for both keep rules (margin-safe
+    fixture: BLAS vs fold dots differ only in the last ulp)."""
+    pdf = _mk_emb()
+    join_out = (
+        semantic_dedup(
+            _spark_emb(spark, pdf),
+            threshold=THR,
+            n_lists=NL,
+            dim=DIM,
+            keep=keep,
+            assign="udf",
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    local_out = (
+        semantic_dedup(
+            _spark_emb(spark, pdf),
+            threshold=THR,
+            n_lists=NL,
+            dim=DIM,
+            keep=keep,
+            assign="udf",
+            pairs="local",
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert list(join_out["vec_id"]) == list(local_out["vec_id"])
+    assert list(join_out["kept"]) == list(local_out["kept"])
+    assert join_out["kept"].sum() < len(join_out)  # fixture has dups
+
+
+def test_semantic_dedup_udf_assignment_matches_column_path(spark):
+    """assign='udf' (Arrow matmul — the large-n_lists scale path) must
+    agree with the literal-Column path on assignments, kept sets, and
+    centroid cosines (to FP tolerance; the matmul expands |v-c|^2 =
+    |v|^2 - 2v.c + |c|^2, a different but equivalent arithmetic),
+    including the NULL-embedding row."""
+    pdf = _mk_emb()
+    col = (
+        semantic_dedup(_spark_emb(spark, pdf), threshold=THR, n_lists=NL, dim=DIM)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    udf = (
+        semantic_dedup(
+            _spark_emb(spark, pdf),
+            threshold=THR,
+            n_lists=NL,
+            dim=DIM,
+            assign="udf",
+        )
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert list(col["vec_id"]) == list(udf["vec_id"])
+    assert list(col["kept"]) == list(udf["kept"])
+    assert list(col["list_id"].astype("float64").fillna(-1)) == list(
+        udf["list_id"].astype("float64").fillna(-1)
+    )
+    np.testing.assert_allclose(
+        col["centroid_cos"].fillna(0.0).astype(float),
+        udf["centroid_cos"].fillna(0.0).astype(float),
+        atol=1e-9,
+    )
