@@ -566,6 +566,7 @@ def semantic_dedup(
     max_cluster: int | None = 100_000,
     assign: str = "column",
     pairs: str = "join",
+    centroids: np.ndarray | None = None,
     return_metrics: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -633,7 +634,13 @@ def semantic_dedup(
         raise ValueError("pairs='local' requires assign='udf' (needs vn)")
     from .dedup import _cap_buckets
 
-    centroids = pinned_centroids(n_lists, dim, seed)
+    # data-adapted quantizer (kmeans_fit on a sample, or kmeans_fit_df
+    # over the full table) plugs in via ``centroids``; the pinned
+    # data-independent default keeps the operator fit-free
+    if centroids is not None:
+        centroids = np.asarray(centroids, dtype=np.float64)
+    else:
+        centroids = pinned_centroids(n_lists, dim, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if assign == "udf":
         # scale path: one Arrow matmul per batch — n_lists can be
@@ -714,3 +721,60 @@ def semantic_dedup(
         )
     )
     return (out, metrics) if return_metrics else out
+
+
+def kmeans_fit_df(
+    df: DataFrame,
+    k: int,
+    iters: int = 10,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL table — the
+    data-adapted coarse quantizer for ``build_ivf_index`` /
+    ``semantic_dedup(centroids=...)`` when a bounded driver-side
+    sample (``kmeans_fit``) is not representative (skewed or
+    multi-modal embedding distributions at scale).
+
+    Spark shape per iteration: centroids broadcast inside a chunked
+    Arrow matmul (the ``make_assign_ccos_udf`` buffer discipline),
+    ONE groupBy(list_id) computing per-dimension means
+    (``F.avg(v[i])`` — k x dim rows back to the driver, tiny), empty
+    clusters keep their previous centroid. Total cost: ``iters`` scans
+    + ``iters`` k-row shuffles; nothing driver-side ever holds more
+    than the k x dim centroid matrix.
+
+    Init is deterministic and data-dependent: the k lowest-``id_col``
+    vectors (callers wanting a seeded random init pass the result of
+    ``kmeans_fit`` on a sample as a starting point instead). Mean
+    reduction order is not fixed by Spark, so centroids are
+    reproducible to FP-sum tolerance, not bitwise.
+    """
+    init_rows = (
+        df.select(vec_col).orderBy(id_col).limit(int(k)).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(f"k={k} exceeds table size {len(init_rows)}")
+    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init_rows])
+    v = F.col("v")
+    for _ in range(int(iters)):
+        ac = make_assign_ccos_udf(centroids)
+        assigned = (
+            df.select(F.col(vec_col).alias("v"))
+            .withColumn("_lid", ac(v)["list_id"])
+            .where(F.col("_lid").isNotNull())
+        )
+        means = (
+            assigned.groupBy("_lid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.avg(v[i]).alias(f"m{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        nxt = centroids.copy()
+        for r in means:
+            nxt[int(r["_lid"])] = [r[f"m{i}"] for i in range(dim)]
+        centroids = nxt
+    return centroids
