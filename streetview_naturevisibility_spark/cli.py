@@ -352,6 +352,35 @@ def cmd_curate(args: argparse.Namespace) -> None:
             | (F.col("mean_logprob") >= F.lit(args.min_logprob))
         ).drop("mean_logprob")
 
+    if getattr(args, "clf_ref", None):
+        # fastText-style classifier gate: logistic regression trained
+        # driver-side on (reference sample) vs (deterministic sample of
+        # this corpus), scored distributed. Unscorable NULL-text docs
+        # are KEPT (the LM-filter contract).
+        from .operators.textops import (
+            score_quality_classifier,
+            train_quality_classifier,
+        )
+
+        n_train = getattr(args, "clf_train_n", 500)
+        ref = spark.read.parquet(args.clf_ref)
+        pos = [r.text for r in ref.where(F.col("text").isNotNull())
+               .orderBy("doc_id").limit(n_train).collect()
+               if r.text is not None]
+        neg = [r.text for r in kept_q.where(F.col("text").isNotNull())
+               .orderBy("doc_id").limit(n_train).select("doc_id", "text").collect()]
+        w, bias = train_quality_classifier(pos, neg)
+        cp = score_quality_classifier(kept_q, w, bias)
+        kept_q = kept_q.join(cp, "doc_id", "left")
+        n_dropped_clf = kept_q.where(
+            F.col("clf_prob") < F.lit(args.clf_min_prob)
+        ).count()
+        kept_q = kept_q.where(
+            F.col("clf_prob").isNull()
+            | (F.col("clf_prob") >= F.lit(args.clf_min_prob))
+        ).drop("clf_prob")
+        print(f"[clf] dropped={n_dropped_clf} below P(reference-like) {args.clf_min_prob}")
+
     n_quality = kept_q.count()
 
     # exact dedup: keep the min doc_id per content digest (shuffle on
@@ -616,6 +645,16 @@ def main() -> None:
     pc.add_argument("--semdedup-threshold", type=float, default=0.92)
     pc.add_argument("--semdedup-lists", type=int, default=8)
     pc.add_argument("--semdedup-dim", type=int, default=64)
+    pc.add_argument(
+        "--clf-ref",
+        default=None,
+        help="parquet of reference documents: train a hashed-n-gram "
+        "logistic classifier (reference vs a sample of this corpus) "
+        "and drop docs with P(reference-like) below --clf-min-prob "
+        "(unscorable NULL-text docs are kept)",
+    )
+    pc.add_argument("--clf-min-prob", type=float, default=0.5)
+    pc.add_argument("--clf-train-n", type=int, default=500)
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

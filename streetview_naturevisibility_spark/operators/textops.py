@@ -987,3 +987,104 @@ def dsir_select(
         .select(id_col, "dsir_logweight")
     )
     return docs.join(top, [id_col])
+
+
+# ------------------------------------------------------------------
+# fastText-style quality classifier (the GPT-3/LLaMA-pipeline "looks
+# like reference text" gate): logistic regression over the SAME
+# hashed unigram+bigram buckets DSIR uses, length-normalized.
+# Training is driver-side on a BOUNDED labeled sample (published
+# pipelines train on ~1e5 labeled docs — quantizer-fit territory, the
+# kmeans_fit precedent); SCORING is the 100 TB path: explode +
+# broadcast weight join + one per-doc-sum shuffle, exactly the
+# dsir_score plan.
+# ------------------------------------------------------------------
+def _clf_feature_rows(docs, text_col, id_col, n_buckets):
+    """(id, b, inv_n) rows: each hashed-gram instance of a doc with
+    the doc's 1/n_feats weight (fastText length normalization). The
+    bucket array is materialized once per row so explode and size see
+    the same computation (no double hashing)."""
+    arr = hashed_ngram_buckets_col(text_col, n_buckets)
+    return docs.select(
+        F.col(id_col).alias("id"), arr.alias("_fb")
+    ).select(
+        "id",
+        F.explode("_fb").alias("b"),
+        (F.lit(1.0) / F.size("_fb")).alias("inv_n"),
+    )
+
+
+def train_quality_classifier(
+    pos_texts: list[str],
+    neg_texts: list[str],
+    n_buckets: int = 4096,
+    iters: int = 200,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+) -> tuple[np.ndarray, float]:
+    """Driver-side logistic regression -> (bucket weights (B,), bias).
+    Deterministic full-batch gradient descent in NumPy over the
+    length-normalized hashed-gram count matrix; inputs are BOUNDED
+    labeled lists (the published setup: a reference corpus vs a random
+    raw sample — collect each with ``.limit(n)``). Hash arithmetic is
+    byte-identical to ``hashed_ngram_buckets_col`` (md5-prefix), so
+    driver-trained weights apply verbatim in the distributed scorer.
+    """
+    import hashlib
+
+    def feats(text: str) -> np.ndarray:
+        x = np.zeros(n_buckets)
+        toks = text.split(" ")
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        for g in grams:
+            x[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % n_buckets] += 1.0
+        return x / len(grams)
+
+    X = np.stack([feats(t) for t in pos_texts + neg_texts])
+    y = np.concatenate([np.ones(len(pos_texts)), np.zeros(len(neg_texts))])
+    w = np.zeros(n_buckets)
+    b = 0.0
+    n = len(y)
+    for _ in range(int(iters)):
+        z = X @ w + b
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        w -= lr * ((X.T @ r) / n + l2 * w)
+        b -= lr * float(r.mean())
+    return w, b
+
+
+def score_quality_classifier(
+    docs: DataFrame,
+    weights: np.ndarray,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed scoring: P(reference-like) per doc.
+
+    -> (id_col, clf_prob). The weight table is <= B rows and
+    broadcast; the corpus explodes to its gram instances and shuffles
+    ONCE (the per-doc margin sum) — the dsir_score plan with a learned
+    log-ratio. NULL-text docs are ABSENT (callers left-join and
+    decide, the LM-filter contract). The margin is an FP sum whose
+    partial order Spark does not fix — probabilities are rounded to 6.
+    """
+    n_buckets = len(weights)
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(weights) if v != 0.0],
+        "b long, w double",
+    )
+    feats = _clf_feature_rows(docs, text_col, id_col, n_buckets)
+    margin = (
+        feats.join(F.broadcast(wdf), ["b"], "left")
+        .groupBy("id")
+        .agg(
+            (F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("inv_n")) + F.lit(float(bias))).alias("_z")
+        )
+    )
+    return margin.select(
+        F.col("id").alias(id_col),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 6).alias("clf_prob"),
+    )

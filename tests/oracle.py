@@ -822,3 +822,46 @@ def duckdb_semantic_dedup(
     ).df()
     con.close()
     return out
+
+
+def duckdb_score_quality(
+    docs: pd.DataFrame, weights, bias: float, n_buckets: int
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.score_quality_classifier:
+    same md5-prefix bucket hash, length-normalized weight sum + bias,
+    sigmoid. Probability compared with a float tolerance by callers
+    (per-doc sum order is unfixed in both engines)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    wdf = pd.DataFrame(
+        {"b": range(len(weights)), "w": [float(v) for v in weights]}
+    )
+    wdf = wdf[wdf["w"] != 0.0]
+    con.register("wt", wdf)
+    B = int(n_buckets)
+    bucket = "CAST('0x' || substring(md5({g}), 1, 15) AS BIGINT) % " + str(B)
+    bi_gram = "t[i] || ' ' || t[i+1]"
+    feats = (
+        "list_concat("
+        f"  list_transform(t, w -> {bucket.format(g='w')}),"
+        f"  [{bucket.format(g=bi_gram)}"
+        "    FOR i IN generate_series(1, len(t) - 1)])"
+    )
+    out = con.sql(
+        f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs
+                   WHERE text IS NOT NULL),
+        f0 AS (SELECT doc_id, {feats} AS fb FROM d),
+        df AS (SELECT doc_id, unnest(fb) AS b, 1.0 / len(fb) AS inv_n
+               FROM f0)
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-(sum(coalesce(wt.w, 0.0) * inv_n)
+                                        + {float(bias)!r}))), 6) AS clf_prob
+        FROM df LEFT JOIN wt USING (b)
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    return out

@@ -457,6 +457,61 @@ class TestCurate:
         kept = sorted(r.doc_id for r in cur.collect())
         assert kept == [0, 2, 3, 4, 5]  # 1 dropped; unembedded 5 kept
 
+    def test_clf_gate_drops_off_domain_docs(self, spark, tmp_path, capsys):
+        """--clf-ref: the trained classifier gate keeps the
+        reference-like half of the corpus and drops the rest."""
+        import numpy as np
+        import pandas as pd
+
+        voc_a = ["apple", "banana", "cherry", "date", "elder", "fig"]
+        voc_b = ["quark", "lepton", "boson", "gluon", "meson", "hadron"]
+        rng = np.random.RandomState(7)
+        rows = []
+        for i in range(24):
+            voc = voc_a if i < 12 else voc_b
+            rows.append((i, " ".join(voc[j] for j in rng.randint(0, 6, size=20))))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        # positives must outweigh the reference-like docs that leak
+        # into the negative sample (negatives are a sample of the
+        # corpus ITSELF — the published setup's documented caveat)
+        ref = str(tmp_path / "ref.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": list(range(60)),
+                "text": [
+                    " ".join(voc_a[j] for j in rng.randint(0, 6, size=18))
+                    for _ in range(60)
+                ],
+            }
+        ).to_parquet(ref, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.99,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            clf_ref=ref,
+            clf_min_prob=0.5,
+            clf_train_n=100,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[clf] dropped=12 below P(reference-like) 0.5" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        assert sorted(r.doc_id for r in cur.collect()) == list(range(12))
+
     def test_dsir_target_requires_keep(self, tmp_path):
         with pytest.raises(SystemExit, match="dsir-keep"):
             cli.cmd_curate(

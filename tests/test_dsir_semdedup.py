@@ -178,6 +178,94 @@ def test_dsir_select_topn_deterministic(spark):
 
 
 # ------------------------------------------------------------------
+# Quality classifier (fastText-style)
+# ------------------------------------------------------------------
+CLF_B = 1024
+
+
+def _clf_train_sets():
+    rng = np.random.RandomState(21)
+    pos = [
+        " ".join(VOCAB_A[j] for j in rng.randint(0, len(VOCAB_A), size=15))
+        for _ in range(40)
+    ]
+    neg = [
+        " ".join(VOCAB_B[j] for j in rng.randint(0, len(VOCAB_B), size=15))
+        for _ in range(40)
+    ]
+    return pos, neg
+
+
+def test_quality_classifier_separates_and_matches_python_margin(spark):
+    from streetview_naturevisibility_spark.operators.textops import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+
+    pos, neg = _clf_train_sets()
+    w, b = train_quality_classifier(pos, neg, n_buckets=CLF_B)
+    docs = _mk_docs()  # held-out A/B mix + empty + NULL + dup pair
+    got = (
+        score_quality_classifier(
+            spark.createDataFrame(docs), w, b, id_col="doc_id"
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    probs = {r.doc_id: r.clf_prob for r in got}
+    # NULL-text doc absent; empty doc present
+    assert 101 not in probs and 100 in probs
+    # held-out separation: every vocab-A doc above every vocab-B doc
+    pa = [probs[i] for i in range(30) if i % 2 == 0]
+    pb = [probs[i] for i in range(30) if i % 2 == 1]
+    assert min(pa) > 0.5 > max(pb)
+    # python margin twin (exact hash, tolerant sum)
+    import hashlib
+    import math
+
+    def py_prob(text):
+        toks = text.split(" ")
+        grams = toks + [f"{x} {y}" for x, y in zip(toks, toks[1:])]
+        z = (
+            sum(
+                w[int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % CLF_B]
+                for g in grams
+            )
+            / len(grams)
+            + b
+        )
+        return 1.0 / (1.0 + math.exp(-z))
+
+    for _, r in docs.iterrows():
+        if r["text"] is not None:
+            assert probs[r["doc_id"]] == pytest.approx(
+                py_prob(r["text"]), abs=2e-6
+            )
+
+
+def test_quality_classifier_matches_duckdb_twin(spark):
+    from streetview_naturevisibility_spark.operators.textops import (
+        score_quality_classifier,
+        train_quality_classifier,
+    )
+    from tests.oracle import duckdb_score_quality
+
+    pos, neg = _clf_train_sets()
+    w, b = train_quality_classifier(pos, neg, n_buckets=CLF_B)
+    docs = _mk_docs()
+    got = (
+        score_quality_classifier(
+            spark.createDataFrame(docs), w, b, id_col="doc_id"
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = duckdb_score_quality(docs, w, b, CLF_B)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["clf_prob"], exp["clf_prob"], atol=2e-6)
+
+
+# ------------------------------------------------------------------
 # SemDeDup
 # ------------------------------------------------------------------
 DIM, NL, SEED, THR = 8, 4, 21, 0.92

@@ -492,6 +492,43 @@ def main() -> None:
         )
     )
 
+    # 17. quality-classifier scoring: learned weights broadcast as a
+    # <= B-row table, corpus explodes and shuffles once (per-doc
+    # margin sum) — the dsir_score plan with trained weights; feature
+    # hashing is pure codegen, no Python in the plan.
+    import numpy as _np
+
+    from streetview_naturevisibility_spark.operators.textops import (
+        score_quality_classifier,
+    )
+
+    docs17 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    w17 = _np.zeros(512)
+    w17[7] = 1.5
+    w17[19] = -0.5
+    qc = score_quality_classifier(docs17, w17, bias=-0.1)
+    p17 = plan_of(qc)
+    ok17, n17 = check(
+        "clf score",
+        p17,
+        must=["BroadcastHashJoin", "HashAggregate"],
+        must_not=[
+            "SortMergeJoin",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "CartesianProduct",
+        ],
+    )
+    sections.append(
+        (
+            "Quality-classifier scoring: broadcast weights, one per-doc-margin shuffle",
+            qc,
+            p17,
+            ok17,
+            n17,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
