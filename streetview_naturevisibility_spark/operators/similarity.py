@@ -778,3 +778,142 @@ def kmeans_fit_df(
             nxt[int(r["_lid"])] = [r[f"m{i}"] for i in range(dim)]
         centroids = nxt
     return centroids
+
+
+def semantic_dedup_incremental(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.92,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    keep: str = "closest",
+) -> DataFrame:
+    """Incremental SemDeDup: dedup an INGEST BATCH against a corpus
+    already materialized as an IVF index (``build_ivf_index`` layout:
+    (id, v) partitioned by list_id + ``_centroids.json`` sidecar).
+
+    Ingestion semantics: an existing corpus member ALWAYS wins — a new
+    item is dropped if any indexed item in its cluster has cosine >=
+    ``threshold``. Batch-internal near-dups then resolve by the
+    standard keep rule (closest/farthest-to-centroid, ties by lower
+    id). Returns (id_col, list_id, kept).
+
+    Scale shape — the reason this exists as its own operator: the
+    corpus side is read with an EXPLICIT partition filter on the
+    batch's cluster set (collected from the batch — small), so a
+    100 TB index contributes only the partitions the batch actually
+    touches; the batch (small side) shuffles by list_id into a
+    ``groupby.cogroup.applyInPandas`` where each cluster runs one
+    blocked BLAS new-vs-existing similarity block plus the
+    within-batch dominance reduction (the ``pairs="local"`` kernel).
+    Nothing corpus-sized is ever re-clustered or re-compared.
+    """
+    import json
+    import os
+
+    if keep not in ("closest", "farthest"):
+        raise ValueError(f"keep must be 'closest' or 'farthest', got {keep!r}")
+    spark = new_df.sparkSession
+    with open(os.path.join(index_path, "_centroids.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    ac = make_assign_ccos_udf(centroids)
+    # eager localCheckpoint, not persist: the batch (small side) is
+    # consumed three times (touched-cluster collect, cogroup, null
+    # rows) — checkpointing materializes the assignment ONCE and
+    # leaves nothing registered in the CacheManager (the knn r2
+    # lifecycle lesson); blocks reclaim with the returned frame.
+    batch = (
+        new_df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("_ac", ac(F.col("v")))
+        .select(
+            "id",
+            F.col("_ac.list_id").alias("list_id"),
+            F.col("_ac.ccos").alias("ccos"),
+            F.col("_ac.vn").alias("vn"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    touched = [
+        int(r.list_id)
+        for r in batch.select("list_id").where(F.col("list_id").isNotNull())
+        .distinct().collect()
+    ]
+    # corpus side: ONLY the touched partitions are scanned (explicit
+    # literal pruning — visible as PartitionFilters in the plan)
+    corpus = (
+        spark.read.parquet(index_path)
+        .where(F.col("list_id").isin(touched))
+        .select("list_id", F.col("v").alias("cv"))
+    )
+    flip = keep == "farthest"
+    thr = float(threshold)
+    from pyspark.sql.types import BooleanType, IntegerType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("id", batch.schema["id"].dataType),
+            StructField("list_id", IntegerType()),
+            StructField("kept", BooleanType()),
+        ]
+    )
+
+    def dedup_cluster(bpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        bpdf = bpdf[bpdf["vn"].notna()]
+        nb = len(bpdf)
+        if nb == 0:
+            return pd.DataFrame({"id": [], "list_id": [], "kept": []}).astype(
+                {"list_id": "int32", "kept": "bool"}
+            )
+        m = np.stack(bpdf["vn"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        dom = np.zeros(nb, dtype=bool)
+        if len(cpdf):
+            cm = np.stack(
+                cpdf["cv"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+            )
+            cm = cm / np.sqrt((cm**2).sum(axis=1, keepdims=True))
+            ch = max(1, 10_000_000 // max(len(cpdf), 1))
+            for s0 in range(0, nb, ch):
+                e = min(s0 + ch, nb)
+                dom[s0:e] = ((m[s0:e] @ cm.T) >= thr).any(axis=1)
+        ids = bpdf["id"].to_numpy()
+        cc = bpdf["ccos"].to_numpy(dtype=np.float64)
+        # within-batch dominance among SURVIVORS of the corpus check
+        # (a batch item killed by the corpus cannot save its twin)
+        alive = ~dom
+        if alive.sum() >= 2:
+            ai = np.flatnonzero(alive)
+            ma, ca, ia = m[ai], cc[ai], ids[ai]
+            na = len(ai)
+            ch = max(1, 10_000_000 // na)
+            for s0 in range(0, na, ch):
+                e = min(s0 + ch, na)
+                sims = ma[s0:e] @ ma.T
+                bet = (ca[None, :] < ca[s0:e, None]) if flip else (
+                    ca[None, :] > ca[s0:e, None]
+                )
+                bet |= (ca[None, :] == ca[s0:e, None]) & (ia[None, :] < ia[s0:e, None])
+                bet[np.arange(e - s0), np.arange(s0, e)] = False
+                dom[ai[s0:e]] |= ((sims >= thr) & bet).any(axis=1)
+        return pd.DataFrame(
+            {
+                "id": bpdf["id"].to_numpy(),
+                "list_id": bpdf["list_id"].to_numpy().astype("int32"),
+                "kept": ~dom,
+            }
+        )
+
+    scored = (
+        batch.where(F.col("list_id").isNotNull())
+        .groupby("list_id")
+        .cogroup(corpus.groupby("list_id"))
+        .applyInPandas(lambda b, c: dedup_cluster(b, c), out_t)
+    )
+    # NULL-embedding rows: kept, NULL cluster (same contract as
+    # semantic_dedup)
+    nulls = batch.where(F.col("list_id").isNull()).select(
+        "id", F.col("list_id").cast("int").alias("list_id"), F.lit(True).alias("kept")
+    )
+    out = scored.unionByName(nulls).select(
+        F.col("id").alias(id_col), "list_id", "kept"
+    )
+    return out

@@ -18,9 +18,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from streetview_naturevisibility_spark.operators.similarity import (
+    build_ivf_index,
     kmeans_fit_df,
     pinned_centroids,
     semantic_dedup,
+    semantic_dedup_incremental,
 )
 from streetview_naturevisibility_spark.operators.textops import (
     dsir_score,
@@ -407,6 +409,56 @@ def test_semantic_dedup_cluster_cap_drops_pairs_with_metrics(spark):
     assert all(r.kept for r in rows)
     m = metrics.collect()[0]
     assert m.dropped_buckets >= 1 and m.dropped_members >= 2
+
+
+def test_semantic_dedup_incremental_against_stored_index(spark, tmp_path):
+    """Ingest-batch dedup against a materialized IVF index: a batch
+    copy of an indexed vector is dropped (existing corpus wins), fresh
+    vectors are kept, a within-batch duplicate pair keeps its lower
+    id, and a NULL embedding is kept with a NULL cluster. Only the
+    batch's clusters are scanned (partition pruning on list_id)."""
+    rng = np.random.RandomState(31)
+    corpus = pd.DataFrame(
+        {
+            "vec_id": list(range(40)),
+            "embedding": [
+                [float(x) for x in _unit(rng.randn(DIM))] for _ in range(40)
+            ],
+        }
+    )
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(_spark_emb(spark, corpus), idx, n_lists=4)
+
+    fresh = _unit(rng.randn(DIM))
+    batch = pd.DataFrame(
+        {
+            "vec_id": [500, 501, 502, 503, 504],
+            "embedding": [
+                corpus["embedding"][7],  # exact copy of an indexed vec
+                [float(x) for x in fresh],  # within-batch dup pair...
+                [float(x) for x in fresh],  # ...501 wins over 502
+                [float(x) for x in _unit(rng.randn(DIM))],  # fresh
+                None,  # NULL embedding
+            ],
+        }
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_dedup_incremental(
+            _spark_emb(spark, batch), idx, threshold=0.95
+        ).collect()
+    }
+    assert not out[500].kept  # killed by the indexed twin
+    assert out[501].kept and not out[502].kept  # batch pair: lower id
+    assert out[503].kept
+    assert out[504].kept and out[504].list_id is None
+    # a batch against an empty-overlap cluster set keeps everything
+    out2 = semantic_dedup_incremental(
+        _spark_emb(spark, batch.iloc[3:4]), idx, threshold=0.999999
+    ).collect()
+    assert all(r.kept for r in out2)
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup_incremental(_spark_emb(spark, batch), idx, keep="all")
 
 
 def test_semantic_dedup_rejects_bad_keep(spark):

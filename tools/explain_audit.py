@@ -529,6 +529,38 @@ def main() -> None:
         )
     )
 
+    # 18. incremental SemDeDup: the stored-corpus side must scan ONLY
+    # the batch's clusters — the literal isin reaches the parquet scan
+    # as PartitionFilters; the batch-vs-corpus compare is one cogroup
+    # (FlatMapCoGroupsInPandas), no join explosion.
+    import tempfile as _tf
+
+    from streetview_naturevisibility_spark.operators.similarity import (
+        build_ivf_index,
+        semantic_dedup_incremental,
+    )
+
+    emb18 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    idx18 = os.path.join(_tf.mkdtemp(), "ivf_idx")
+    build_ivf_index(emb18, idx18, n_lists=8)
+    inc = semantic_dedup_incremental(emb18.limit(50), idx18, threshold=0.95)
+    p18 = plan_of(inc)
+    ok18, n18 = check(
+        "incremental semdedup",
+        p18,
+        must=["PartitionFilters: [list_id#", "FlatMapCoGroupsInPandas"],
+        must_not=["CartesianProduct", "BroadcastNestedLoopJoin", "SortMergeJoin"],
+    )
+    sections.append(
+        (
+            "Incremental SemDeDup: corpus scan pruned to the batch's clusters, one cogroup",
+            inc,
+            p18,
+            ok18,
+            n18,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
