@@ -1088,3 +1088,50 @@ def score_quality_classifier(
         F.col("id").alias(id_col),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 6).alias("clf_prob"),
     )
+
+
+def score_quality_classifier_streaming(
+    docs: DataFrame,
+    weights: np.ndarray,
+    bias: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming-safe classifier scoring: fully STATELESS per-row plan
+    (no aggregation, no watermark) usable inside ``readStream -> ...
+    -> writeStream`` append mode — the batch scorer's per-doc-margin
+    groupBy is a streaming aggregation and would force update mode.
+
+    Shape: the bucket array is computed by the same pure-codegen
+    md5-prefix hash as the batch path (JVM side), then ONE vectorized
+    Arrow UDF maps each array to its margin by NumPy fancy-indexing
+    into the closure-held weight vector (O(1) per probe — a literal
+    Spark map would linear-scan its 4096 entries per lookup). NULL
+    texts are filtered (they are ABSENT from the batch scorer's
+    output; batch == stream row-for-row is pytest-gated).
+    """
+    from pyspark.sql.types import DoubleType
+
+    n_buckets = len(weights)
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    @F.pandas_udf(DoubleType())
+    def margin(bs: pd.Series) -> pd.Series:
+        out = np.empty(len(bs))
+        for i, arr in enumerate(bs):
+            a = np.asarray(arr, dtype=np.int64)
+            out[i] = w[a].sum() / len(a) + b
+        return pd.Series(out)
+
+    arr = hashed_ngram_buckets_col(text_col, n_buckets)
+    return (
+        docs.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col), arr.alias("_fb"))
+        .select(
+            id_col,
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(F.col("_fb")))), 6
+            ).alias("clf_prob"),
+        )
+    )
