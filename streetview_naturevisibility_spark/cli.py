@@ -263,6 +263,18 @@ def cmd_curate(args: argparse.Namespace) -> None:
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
 
+    if getattr(args, "fix_text", False):
+        # encoding cleanup FIRST: every later stage (shingles, LM,
+        # classifier, dedup digests) judges the repaired text
+        from .operators.textops import fix_text
+
+        fx = fix_text(docs)
+        n_fixed = fx.where("changed").count()
+        docs = docs.drop("text").join(
+            fx.select("doc_id", F.col("text_fixed").alias("text")), "doc_id"
+        )
+        print(f"[fix] repaired={n_fixed} docs (mojibake/spaces/control chars)")
+
     if getattr(args, "blocklist", None):
         from .operators.textops import decontaminate
 
@@ -655,6 +667,12 @@ def main() -> None:
     )
     pc.add_argument("--clf-min-prob", type=float, default=0.5)
     pc.add_argument("--clf-train-n", type=int, default=500)
+    pc.add_argument(
+        "--fix-text",
+        action="store_true",
+        help="repair mojibake/exotic spaces/control chars BEFORE any "
+        "other stage (CCNet-style fix_text)",
+    )
     pc.set_defaults(fn=cmd_curate)
 
     ps = sub.add_parser("stac-ndvi")

@@ -1135,3 +1135,80 @@ def score_quality_classifier_streaming(
             ).alias("clf_prob"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Encoding cleanup (the CCNet/RefinedWeb "fix_text" stage): undo the
+# most common UTF-8-read-as-Latin-1 mojibake, normalize exotic spaces,
+# strip control characters. Pure codegen (chained translate /
+# regexp_replace) — zero Python on the 100 TB side, and every rule is
+# a PINNED table a DuckDB twin restates verbatim.
+# ------------------------------------------------------------------
+# UTF-8 byte sequences of common chars read back as cp1252/Latin-1
+# ("\u00c3\u00a9" renders as \u00e9's mojibake). PINNED explicit pairs,
+# escape-coded so no editor/tool can silently re-encode them; the
+# three-byte smart-punctuation sequences come first so a chained
+# replace never eats their two-byte prefix.
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "\u2019"),
+    ("\u00e2\u20ac\u02dc", "\u2018"),
+    ("\u00e2\u20ac\u0153", "\u201c"),
+    ("\u00e2\u20ac\u009d", "\u201d"),
+    ("\u00e2\u20ac\u201c", "\u2013"),
+    ("\u00e2\u20ac\u201d", "\u2014"),
+    ("\u00e2\u20ac\u00a6", "\u2026"),
+    ("\u00c3\u00a9", "\u00e9"),
+    ("\u00c3\u00a8", "\u00e8"),
+    ("\u00c3\u00a4", "\u00e4"),
+    ("\u00c3\u00b6", "\u00f6"),
+    ("\u00c3\u00bc", "\u00fc"),
+    ("\u00c3\u00b1", "\u00f1"),
+    ("\u00c3\u00a7", "\u00e7"),
+    ("\u00c3\u00a1", "\u00e1"),
+    ("\u00c3\u00b3", "\u00f3"),
+    ("\u00c3\u00ba", "\u00fa"),
+    ("\u00c3\u00ad", "\u00ed"),
+    ("\u00c3\u00a0", "\u00e0"),
+    ("\u00c3\u00a2", "\u00e2"),
+    ("\u00c3\u00aa", "\u00ea"),
+    ("\u00c3\u00b4", "\u00f4"),
+    ("\u00c3\u00bb", "\u00fb"),
+    ("\u00c3\u00ae", "\u00ee"),
+    ("\u00c3\u00af", "\u00ef"),
+    ("\u00c3\u00ab", "\u00eb"),
+    ("\u00c3\u00b8", "\u00f8"),
+    ("\u00c2\u00ab", "\u00ab"),
+    ("\u00c2\u00bb", "\u00bb"),
+    ("\u00c2\u00b0", "\u00b0"),
+    ("\u00c2\u00b7", "\u00b7"),
+)
+# non-breaking / exotic spaces -> plain space (NBSP often survives
+# as mojibake "\u00c2 " too — the stray marker strip below catches it)
+_SPACES = "\u00a0\u2002\u2003\u2007\u2009\u200a\u3000"
+
+
+def fix_text_col(text_col: str):
+    """Mojibake + whitespace + control-char cleanup as one codegen
+    expression chain: pinned double-encoded sequences restored, exotic
+    spaces -> ' ', C0/C1 control chars (except \\n, \\t) stripped,
+    stray 'Â' markers (the NBSP mojibake residue) removed. NULL
+    propagates."""
+    c = F.col(text_col)
+    for bad, good in MOJIBAKE_TABLE:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    c = F.translate(c, _SPACES, " " * len(_SPACES))
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "")
+    c = F.replace(c, F.lit("Â"), F.lit(""))
+    return c
+
+
+def fix_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (id_col, text_fixed, changed). Scan -> Project, no shuffle."""
+    fixed = fix_text_col(text_col)
+    return df.select(
+        F.col(id_col),
+        fixed.alias("text_fixed"),
+        (~fixed.eqNullSafe(F.col(text_col))).alias("changed"),
+    )

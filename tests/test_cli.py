@@ -512,6 +512,51 @@ class TestCurate:
         cur = spark.read.parquet(os.path.join(out, "curated"))
         assert sorted(r.doc_id for r in cur.collect()) == list(range(12))
 
+    def test_fix_text_stage_repairs_before_dedup(self, spark, tmp_path, capsys):
+        """--fix-text runs FIRST: two docs identical except one is
+        mojibake-encoded collapse in exact dedup after repair."""
+        import pandas as pd
+
+        body = "café crème " + " ".join(
+            f"tok{j}" for j in range(30)
+        )
+        moji = body.encode("utf-8").decode("latin-1")
+        assert moji != body
+        rows = [(0, body), (1, moji)]
+        for i in range(2, 8):
+            rows.append(
+                (i, " ".join(f"word{i}x{j}" for j in range(30)))
+            )
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.99,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            fix_text=True,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[fix] repaired=1 docs" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        kept = sorted(r.doc_id for r in cur.collect())
+        assert kept == [0, 2, 3, 4, 5, 6, 7]  # mojibake twin deduped away
+        got0 = {r.doc_id: r.text for r in cur.collect()}[0]
+        assert got0 == body
+
     def test_dsir_target_requires_keep(self, tmp_path):
         with pytest.raises(SystemExit, match="dsir-keep"):
             cli.cmd_curate(

@@ -605,3 +605,55 @@ def test_semantic_dedup_udf_assignment_matches_column_path(spark):
         udf["centroid_cos"].fillna(0.0).astype(float),
         atol=1e-9,
     )
+
+
+# ------------------------------------------------------------------
+# fix_text encoding cleanup
+# ------------------------------------------------------------------
+def _fix_fixture():
+    rows = [
+        (0, "cafÃ© crÃ¨me"),          # mojibake é è
+        (1, "itâ€™s â€œokâ€\x9d"),  # ’ “ ”
+        (2, "dash â€“ here â€¦"),  # – …
+        (3, "nbspÂ space and　ideographic"),  # Â+nbsp, U+3000
+        (4, "ctrl\x01chars\x0cstripped\x9f"),
+        (5, "already clean text"),
+        (6, ""),
+        (7, None),
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_fix_text_hand_goldens(spark):
+    from streetview_naturevisibility_spark.operators.textops import fix_text
+
+    out = {
+        r.doc_id: (r.text_fixed, r.changed)
+        for r in fix_text(spark.createDataFrame(_fix_fixture())).collect()
+    }
+    assert out[0] == ("café crème", True)
+    assert out[1] == ("it’s “ok”", True)
+    assert out[2] == ("dash – here …", True)
+    assert out[3] == ("nbsp space and ideographic", True)
+    assert out[4] == ("ctrlcharsstripped", True)
+    assert out[5] == ("already clean text", False)
+    assert out[6] == ("", False)
+    assert out[7] == (None, False)
+
+
+def test_fix_text_matches_duckdb_twin(spark):
+    from streetview_naturevisibility_spark.operators.textops import (
+        _SPACES,
+        MOJIBAKE_TABLE,
+        fix_text,
+    )
+    from tests.oracle import duckdb_fix_text
+
+    pdf = _fix_fixture()
+    got = (
+        fix_text(spark.createDataFrame(pdf)).orderBy("doc_id").toPandas()
+    )
+    exp = duckdb_fix_text(pdf, MOJIBAKE_TABLE, _SPACES)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["text_fixed"].fillna("~")) == list(exp["text_fixed"].fillna("~"))
+    assert list(got["changed"]) == list(exp["changed"])
