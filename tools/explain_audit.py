@@ -561,6 +561,28 @@ def main() -> None:
         )
     )
 
+    # 19. fix_text: the whole repair chain is ONE map-only Project —
+    # no exchange, no Python
+    from streetview_naturevisibility_spark.operators.textops import fix_text
+
+    docs19 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ft = fix_text(docs19)
+    p19 = plan_of(ft)
+    ok19, n19 = check(
+        "fix text",
+        p19,
+        must=["Project"],
+        must_not=[
+            "Exchange",
+            "ArrowEvalPython",
+            "BatchEvalPython",
+            "HashAggregate",
+        ],
+    )
+    sections.append(
+        ("fix_text: map-only repair chain, zero shuffle", ft, p19, ok19, n19)
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
