@@ -501,6 +501,17 @@ def cmd_curate(args: argparse.Namespace) -> None:
             "[budget] tokens kept per lang: "
             + ", ".join(f"{k}={v}" for k, v in sorted(mix.items(), key=str))
         )
+    if getattr(args, "pack_tokens", None):
+        # final stage: materialize fixed-token-budget training rows
+        from .operators.corpus import pack_rows
+
+        out = pack_rows(
+            out,
+            args.pack_tokens,
+            tokens_col="n_tokens" if "n_tokens" in out.columns else None,
+        )
+        print(f"[pack] budget={args.pack_tokens} tokens/row")
+
     n_out = out.count()
 
     out.write.mode("overwrite").parquet(os.path.join(args.out, "curated"))
@@ -672,6 +683,14 @@ def main() -> None:
         action="store_true",
         help="repair mojibake/exotic spaces/control chars BEFORE any "
         "other stage (CCNet-style fix_text)",
+    )
+    pc.add_argument(
+        "--pack-tokens",
+        type=int,
+        default=None,
+        help="final stage: pack the curated docs into training rows of "
+        "this token budget (contiguous id-order packing); the output "
+        "schema becomes (bin_id, packed_text, n_docs, n_tokens)",
     )
     pc.set_defaults(fn=cmd_curate)
 

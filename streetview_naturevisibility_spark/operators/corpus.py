@@ -574,3 +574,107 @@ def domain_rollup(
             F.sum("_t").alias("n_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Sequence packing: the last training-data stage — pack the curated,
+# mixed corpus into fixed-token-budget training rows. Deterministic
+# contiguous rule: docs in ascending id order fill bins of
+# ``budget_tokens``; doc d lands in bin floor(cumsum_before(d) / T)
+# where cumsum_before is the EXCLUSIVE prefix sum of token counts in
+# id order. (Published pipelines split over-long docs first — this
+# engine's chunk/paragraph ops do that upstream; a doc longer than T
+# is assigned whole to the bin its prefix starts in, documented.)
+# ------------------------------------------------------------------
+def pack_assignments(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    bucket_span: int = 100_000,
+) -> DataFrame:
+    """-> (id_col, n_tokens, bin_id). The global exclusive prefix sum
+    uses the token_budget_select decomposition so no stratum-wide sort
+    ever forms: ids bucket by ``floor(id / bucket_span)``, per-bucket
+    totals (tiny — one row per bucket) get their own exclusive prefix
+    via a window over the TOTALS frame, and each doc's global
+    cumsum_before = its bucket's offset + the within-bucket exclusive
+    cumsum (exact: bucket boundaries partition the id order, floor is
+    applied after the sums recompose). The corpus shuffles ONCE (the
+    within-bucket window, partitions ~bucket_span docs); NULL text
+    counts 0 tokens (kept — packs into whichever bin is open).
+    """
+    from pyspark.sql import Window
+
+    tok = (
+        F.col(tokens_col)
+        if tokens_col
+        else F.size(F.split(F.col(text_col), " "))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(tok.cast("long"), F.lit(0)).alias("_t"),
+    ).withColumn("_bk", F.floor(F.col("id") / F.lit(int(bucket_span))))
+    totals = base.groupBy("_bk").agg(F.sum("_t").alias("_bt"))
+    w_tot = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bt").over(w_tot), F.lit(0))
+    ).select("_bk", "_off")
+    w_in = (
+        Window.partitionBy("_bk")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        base.join(F.broadcast(offsets), ["_bk"])
+        .withColumn(
+            "_before",
+            F.col("_off") + F.coalesce(F.sum("_t").over(w_in), F.lit(0)),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("_t").alias("n_tokens"),
+            F.floor(F.col("_before") / F.lit(int(budget_tokens))).alias("bin_id"),
+        )
+    )
+
+
+def pack_rows(
+    df: DataFrame,
+    budget_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    sep: str = "\n\n",
+    bucket_span: int = 100_000,
+) -> DataFrame:
+    """Materialized training rows: -> (bin_id, packed_text, n_docs,
+    n_tokens). Document order inside a row is ascending id
+    (sort_array over (id, text) structs — deterministic under any
+    partitioning); NULL texts contribute empty segments."""
+    asg = pack_assignments(
+        df, budget_tokens, text_col, id_col, tokens_col, bucket_span
+    )
+    j = df.select(
+        F.col(id_col), F.col(text_col).alias("_tx")
+    ).join(asg, [id_col])
+    return (
+        j.groupBy("bin_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("_tx").alias("t")))
+            ).alias("_ps"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .select(
+            "bin_id",
+            F.array_join(
+                F.transform(F.col("_ps"), lambda s: F.coalesce(s["t"], F.lit(""))),
+                sep,
+            ).alias("packed_text"),
+            "n_docs",
+            "n_tokens",
+        )
+    )

@@ -896,3 +896,32 @@ def duckdb_fix_text(docs: pd.DataFrame, table, spaces: str) -> pd.DataFrame:
     ).df()
     con.close()
     return out
+
+
+def duckdb_pack_assignments(
+    docs: pd.DataFrame, budget_tokens: int
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/corpus.pack_assignments: ONE global
+    exclusive-prefix window (the engine's bucketed two-phase must
+    recompose to exactly this)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    out = con.sql(
+        f"""
+        WITH t AS (SELECT doc_id,
+                          coalesce(len(string_split(text, ' ')), 0) AS n_tokens
+                   FROM docs),
+        c AS (SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS before
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(before / {int(budget_tokens)}) AS BIGINT) AS bin_id
+        FROM c ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    return out

@@ -557,6 +557,48 @@ class TestCurate:
         got0 = {r.doc_id: r.text for r in cur.collect()}[0]
         assert got0 == body
 
+    def test_pack_tokens_stage_outputs_training_rows(
+        self, spark, tmp_path, capsys
+    ):
+        """--pack-tokens: the curated output becomes fixed-budget
+        training rows; total tokens and doc count are conserved."""
+        import pandas as pd
+
+        rows = []
+        for i in range(12):
+            rows.append((i, " ".join(f"w{i}x{j}" for j in range(25))))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.99,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            pack_tokens=60,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[pack] budget=60 tokens/row" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        rows_out = cur.collect()
+        assert set(cur.columns) == {"bin_id", "packed_text", "n_docs", "n_tokens"}
+        assert sum(r.n_docs for r in rows_out) == 12
+        assert sum(r.n_tokens for r in rows_out) == 12 * 25
+        # 12 docs x 25 tokens at 60/row -> bins of 2-3 docs
+        assert len(rows_out) == 5  # floor packing: 300 tokens / 60
+
     def test_dsir_target_requires_keep(self, tmp_path):
         with pytest.raises(SystemExit, match="dsir-keep"):
             cli.cmd_curate(

@@ -657,3 +657,86 @@ def test_fix_text_matches_duckdb_twin(spark):
     assert list(got["doc_id"]) == list(exp["doc_id"])
     assert list(got["text_fixed"].fillna("~")) == list(exp["text_fixed"].fillna("~"))
     assert list(got["changed"]) == list(exp["changed"])
+
+
+# ------------------------------------------------------------------
+# Sequence packing
+# ------------------------------------------------------------------
+def test_pack_assignments_hand_golden_and_twin(spark):
+    from streetview_naturevisibility_spark.operators.corpus import (
+        pack_assignments,
+    )
+    from tests.oracle import duckdb_pack_assignments
+
+    rows = [
+        (0, "a b c d"),        # 4 tokens, before=0  -> bin 0
+        (1, "e f g"),          # 3, before=4         -> bin 0
+        (2, "h i j k l"),      # 5, before=7         -> bin 0
+        (3, "m n"),            # 2, before=12        -> bin 1
+        (4, None),             # 0, before=14        -> bin 1
+        (5, "o p q r s t u v w x y z A B"),  # 14, before=14 -> bin 1
+        (6, "C"),              # 1, before=28        -> bin 2
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = (
+        pack_assignments(spark.createDataFrame(pdf), budget_tokens=10)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.n_tokens, r.bin_id) for r in got] == [
+        (0, 4, 0), (1, 3, 0), (2, 5, 0), (3, 2, 1), (4, 0, 1),
+        (5, 14, 1), (6, 1, 2),
+    ]
+    exp = duckdb_pack_assignments(pdf, 10)
+    assert [(r.doc_id, r.n_tokens, r.bin_id) for r in got] == list(
+        exp.itertuples(index=False, name=None)
+    )
+
+
+def test_pack_bucketed_decomposition_matches_global(spark):
+    """bucket_span=3 (many buckets) must equal bucket_span=10^9 (one
+    bucket == the plain global window) on a sparse-id corpus — the
+    prefix-sum recomposition is exact."""
+    from streetview_naturevisibility_spark.operators.corpus import (
+        pack_assignments,
+    )
+
+    rng = np.random.RandomState(41)
+    rows = []
+    nid = 0
+    for _ in range(200):
+        nid += int(rng.randint(1, 7))  # sparse, gapped ids
+        rows.append((nid, " ".join("w" for _ in range(int(rng.randint(0, 30))))))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    a = (
+        pack_assignments(spark.createDataFrame(pdf), 57, bucket_span=3)
+        .orderBy("doc_id")
+        .collect()
+    )
+    b = (
+        pack_assignments(spark.createDataFrame(pdf), 57, bucket_span=10**9)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pack_rows_materializes_ordered_rows(spark):
+    from streetview_naturevisibility_spark.operators.corpus import pack_rows
+
+    rows = [
+        (0, "a b c d"), (1, "e f g"), (2, "h i j k l"),
+        (3, "m n"), (4, None), (5, "single"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    got = {
+        r.bin_id: r
+        for r in pack_rows(
+            spark.createDataFrame(pdf), budget_tokens=10, sep=" | "
+        ).collect()
+    }
+    assert got[0].packed_text == "a b c d | e f g | h i j k l"
+    assert got[0].n_docs == 3 and got[0].n_tokens == 12
+    # NULL text -> empty segment, still in id order
+    assert got[1].packed_text == "m n |  | single"
+    assert got[1].n_docs == 3
