@@ -127,6 +127,31 @@ def main() -> None:
         }
         print("LEG " + json.dumps({"clf_score": results["clf_score"]}), flush=True)
 
+    # --- sequence packing (2048-token training rows) ---
+    if "pack" in legs:
+        from streetview_naturevisibility_spark.operators.corpus import (
+            pack_assignments,
+        )
+
+        t0 = time.perf_counter()
+        pa = pack_assignments(docs, budget_tokens=2048, bucket_span=100_000)
+        r = pa.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("bin_id").alias("bins"),
+            F.sum("n_tokens").alias("tok"),
+        ).collect()[0]
+        results["pack_assignments"] = {
+            "wall_s": round(time.perf_counter() - t0, 2),
+            "rows": r.n,
+            "bins": int(r.bins),
+            "total_tokens": int(r.tok),
+            "expected_bins_ceil": -(-int(r.tok) // 2048),
+        }
+        print(
+            "LEG " + json.dumps({"pack_assignments": results["pack_assignments"]}),
+            flush=True,
+        )
+
     # --- SemDeDup ---
     emb = synthetic_embeddings(spark, n, cpus * 2)
     if "semdedup" in legs:
