@@ -320,6 +320,20 @@ def cmd_curate(args: argparse.Namespace) -> None:
             f"{args.chunk_dedup}-char chunk instances"
         )
 
+    if (
+        getattr(args, "fix_text", False)
+        or getattr(args, "para_dedup", False)
+        or getattr(args, "chunk_dedup", None)
+    ):
+        # cut the text-rewrite lineage before the scoring stages: every
+        # downstream stage otherwise replans the full fix/para/chunk
+        # expression tree and the composed plan grows multiplicatively
+        # (an all-stages run OOMed a 4g driver on PLAN size, not data).
+        # This is the pruned-projection checkpoint strategy
+        # BENCH/BASELINE.md documents — on a cluster use checkpoint()
+        # to reliable storage.
+        docs = docs.localCheckpoint(eager=False)
+
     scored = analyze_documents(docs, keep_input_cols=True)
     kept_q = scored.where(F.col("quality_score") >= F.lit(args.min_quality))
 

@@ -599,6 +599,120 @@ class TestCurate:
         # 12 docs x 25 tokens at 60/row -> bins of 2-3 docs
         assert len(rows_out) == 5  # floor packing: 300 tokens / 60
 
+    def test_kitchen_sink_funnel_composes_all_stages(
+        self, spark, tmp_path, capsys
+    ):
+        """EVERY curate stage in one invocation: fix-text, decontam,
+        para-dedup, chunk-dedup, repetition filter, LM filter,
+        classifier gate, semdedup, DSIR select, stratified sample,
+        token budget, packing. The assertion is compositional: each
+        stage prints its line, the funnel stays monotone, and the
+        final output is packed training rows."""
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(99)
+        voc = ["apple", "banana", "cherry", "date", "elder", "fig",
+               "grape", "melon"]
+        boiler = "subscribe to our newsletter now for more"
+        bench_gram = " ".join(f"b{i}" for i in range(13))
+        rows = []
+        for i in range(40):
+            body = " ".join(voc[j] for j in rng.randint(0, 8, size=40))
+            if i == 5:
+                body = f"lead {bench_gram} tail " + body  # contaminated
+            if i == 9:
+                body = "spam ham " * 40  # repetitive
+            rows.append((i, body + "\n\n" + boiler))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        ref = str(tmp_path / "ref.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": list(range(50)),
+                "text": [
+                    " ".join(voc[j] for j in rng.randint(0, 8, size=30))
+                    for _ in range(50)
+                ],
+            }
+        ).to_parquet(ref, index=False)
+        blk = str(tmp_path / "blk.parquet")
+        pd.DataFrame({"doc_id": [0], "text": [f"x {bench_gram} y"]}).to_parquet(
+            blk, index=False
+        )
+
+        def unit(v):
+            return [float(x) for x in v / np.sqrt((v**2).sum())]
+
+        base_vec = rng.randn(8)
+        emb_rows = []
+        for i in range(40):
+            # docs 2 and 3 share an embedding -> semdedup drops 3
+            v = base_vec if i in (2, 3) else rng.randn(8)
+            emb_rows.append((i, unit(np.asarray(v, dtype=np.float64))))
+        embp = str(tmp_path / "emb.parquet")
+        spark.createDataFrame(
+            emb_rows, "vec_id bigint, embedding array<double>"
+        ).write.mode("overwrite").parquet(embp)
+
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.8,
+            max_bucket=10_000,
+            sample="en=1.0",
+            default_rate=1.0,
+            fix_text=True,
+            blocklist=blk,
+            decontam_n=13,
+            para_dedup=True,
+            para_max_docs=1,
+            para_min_chars=0,
+            chunk_dedup=40,
+            max_top2gram_frac=0.5,
+            lm_ref=ref,
+            min_logprob=-20.0,
+            clf_ref=ref,
+            clf_min_prob=0.01,
+            clf_train_n=50,
+            semdedup=embp,
+            semdedup_threshold=0.95,
+            semdedup_lists=4,
+            semdedup_dim=8,
+            dsir_target=ref,
+            dsir_keep=20,
+            dsir_buckets=512,
+            # stopword-free fruit vocab language-IDs as "de" (the
+            # zero-score tie-fold default) — budget that stratum
+            token_budget="de=400",
+            budget_default=0,
+            pack_tokens=64,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        for tag in ("[fix]", "[decontam]", "[para]", "[chunk]", "[rep]",
+                    "[clf]", "[semdedup]", "[dsir]", "[budget]", "[pack]",
+                    "[lsh]", "[curate]"):
+            assert tag in text, f"missing stage line {tag}\n{text}"
+        assert "[decontam] dropped=1" in text  # doc 5
+        assert "[semdedup] dropped=1" in text  # doc 3 (2's twin)
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        assert set(cur.columns) == {
+            "bin_id", "packed_text", "n_docs", "n_tokens"
+        }
+        assert cur.count() > 0
+        assert cur.agg({"n_tokens": "sum"}).collect()[0][0] <= 400
+
     def test_dsir_target_requires_keep(self, tmp_path):
         with pytest.raises(SystemExit, match="dsir-keep"):
             cli.cmd_curate(
