@@ -1187,26 +1187,35 @@ MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
 _SPACES = "\u00a0\u2002\u2003\u2007\u2009\u200a\u3000"
 
 
-def fix_text_col(text_col: str):
+def fix_text_col(text_col: str, passes: int = 1):
     """Mojibake + whitespace + control-char cleanup as one codegen
     expression chain: pinned double-encoded sequences restored, exotic
     spaces -> ' ', C0/C1 control chars (except \\n, \\t) stripped,
     stray 'Â' markers (the NBSP mojibake residue) removed. NULL
-    propagates."""
+    propagates.
+
+    A single pass is NOT a fixpoint (a property-probe established
+    this): stripping a control char or 'Â' marker lodged INSIDE a
+    mojibake pair ('Ã\\x01©') re-forms the pair, and doubly-encoded
+    text ('Ã¢€™') reveals its inner layer only after the outer repair
+    — the same reason ftfy iterates. ``passes`` unrolls the chain
+    (still one codegen Project, no shuffle); 2 converges every probe
+    case, the default 1 matches the published one-pass cleaners."""
     c = F.col(text_col)
-    for bad, good in MOJIBAKE_TABLE:
-        c = F.replace(c, F.lit(bad), F.lit(good))
-    c = F.translate(c, _SPACES, " " * len(_SPACES))
-    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "")
-    c = F.replace(c, F.lit("Â"), F.lit(""))
+    for _ in range(int(passes)):
+        for bad, good in MOJIBAKE_TABLE:
+            c = F.replace(c, F.lit(bad), F.lit(good))
+        c = F.translate(c, _SPACES, " " * len(_SPACES))
+        c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "")
+        c = F.replace(c, F.lit("Â"), F.lit(""))
     return c
 
 
 def fix_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", passes: int = 1
 ) -> DataFrame:
     """-> (id_col, text_fixed, changed). Scan -> Project, no shuffle."""
-    fixed = fix_text_col(text_col)
+    fixed = fix_text_col(text_col, passes)
     return df.select(
         F.col(id_col),
         fixed.alias("text_fixed"),

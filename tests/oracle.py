@@ -867,26 +867,30 @@ def duckdb_score_quality(
     return out
 
 
-def duckdb_fix_text(docs: pd.DataFrame, table, spaces: str) -> pd.DataFrame:
+def duckdb_fix_text(
+    docs: pd.DataFrame, table, spaces: str, passes: int = 1
+) -> pd.DataFrame:
     """ANSI-SQL twin of operators/textops.fix_text: same pinned
     mojibake table (passed in so the twin can never drift), exotic
-    spaces -> ' ', C0/C1 control strip, stray marker removal."""
+    spaces -> ' ', C0/C1 control strip, stray marker removal;
+    ``passes`` unrolls the chain like the engine."""
     import duckdb
 
     con = duckdb.connect()
     con.register("docs", docs)
     expr = "text"
-    for bad, good in table:
-        b = bad.replace("'", "''")
-        g = good.replace("'", "''")
-        expr = f"replace({expr}, '{b}', '{g}')"
-    plain = "'" + " " * len(spaces) + "'"
-    expr = f"translate({expr}, '{spaces}', {plain})"
-    expr = (
-        f"regexp_replace({expr}, "
-        "'[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
-    )
-    expr = f"replace({expr}, 'Â', '')"
+    for _ in range(int(passes)):
+        for bad, good in table:
+            b = bad.replace("'", "''")
+            g = good.replace("'", "''")
+            expr = f"replace({expr}, '{b}', '{g}')"
+        plain = "'" + " " * len(spaces) + "'"
+        expr = f"translate({expr}, '{spaces}', {plain})"
+        expr = (
+            f"regexp_replace({expr}, "
+            "'[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
+        )
+        expr = f"replace({expr}, 'Â', '')"
     out = con.sql(
         f"""
         SELECT doc_id, {expr} AS text_fixed,

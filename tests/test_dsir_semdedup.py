@@ -740,3 +740,41 @@ def test_pack_rows_materializes_ordered_rows(spark):
     # NULL text -> empty segment, still in id order
     assert got[1].packed_text == "m n |  | single"
     assert got[1].n_docs == 3
+
+
+def test_fix_text_two_passes_converge_interleaved_corruption(spark):
+    """A property probe found single-pass non-fixpoints: control chars
+    or stray markers lodged INSIDE a mojibake pair re-form the pair
+    after stripping, and doubly-encoded text reveals its inner layer
+    only after the outer repair. passes=2 converges every probe case
+    (the ftfy iteration rationale); the DuckDB twin unrolls
+    identically."""
+    from streetview_naturevisibility_spark.operators.textops import (
+        _SPACES,
+        MOJIBAKE_TABLE,
+        fix_text,
+    )
+    from tests.oracle import duckdb_fix_text
+
+    cases = [
+        ("Ã\x01©", "é"),          # ctrl inside Ã© -> é
+        ("ÃÂ©", "é"),        # Â marker inside Ã©
+        ("Ã¢€™", "’"),  # double-encoded ’
+    ]
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(cases)), "text": [c[0] for c in cases]}
+    )
+    two = {
+        r.doc_id: r.text_fixed
+        for r in fix_text(spark.createDataFrame(pdf), passes=2).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert two[i] == want
+    exp = duckdb_fix_text(pdf, MOJIBAKE_TABLE, _SPACES, passes=2)
+    assert list(exp["text_fixed"]) == [c[1] for c in cases]
+    # single pass leaves each case un-converged (documented contract)
+    one = {
+        r.doc_id: r.text_fixed
+        for r in fix_text(spark.createDataFrame(pdf)).collect()
+    }
+    assert all(one[i] != cases[i][1] for i in range(len(cases)))
