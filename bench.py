@@ -365,6 +365,62 @@ def main() -> None:
     funnel_sec, funnel_counts = bench_curate_funnel(spark, n_funnel, int(cpus))
     times["curate_funnel"] = round(funnel_sec, 3)
 
+    # r5 selection family at 1M rows (driver-recorded twins of the
+    # BENCH/selection_scale.py legs): SemDeDup (pairs="local" BLAS
+    # dominance), DSIR top-k, sequence packing. Each asserts its
+    # planted/closed-form expectation so a wrong plan can't "win".
+    from streetview_naturevisibility_spark.operators.corpus import (
+        pack_assignments,
+    )
+    from streetview_naturevisibility_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from streetview_naturevisibility_spark.operators.textops import dsir_select
+
+    docs1m = synthetic_docs(spark, n_funnel, int(cpus) * 2)
+
+    t0 = time.time()
+    pa = pack_assignments(docs1m, budget_tokens=2048, bucket_span=100_000)
+    r = pa.agg(
+        F.countDistinct("bin_id").alias("bins"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    times["pack_1m"] = round(time.time() - t0, 3)
+    assert int(r.bins) == -(-int(r.tok) // 2048), "packing bin count off"
+
+    t0 = time.time()
+    sel = dsir_select(
+        docs1m,
+        docs1m.where(F.col("doc_id") % 1000 == 995).select("text"),
+        n=10_000,
+        n_buckets=10_000,
+    )
+    n_junk = sel.where(F.col("doc_id") % 100 >= 95).count()
+    times["dsir_select_1m"] = round(time.time() - t0, 3)
+
+    base_vec = F.col("id") - (F.col("id") % 100 == 1).cast("long")
+    emb1m = spark.range(0, n_funnel, 1, int(cpus) * 2).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (
+                (F.pmod(F.xxhash64(base_vec * F.lit(31) + i), F.lit(2_000_001))
+                 - F.lit(1_000_000)) / F.lit(1_000_000.0)
+            ),
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    sd = semantic_dedup(
+        emb1m, threshold=0.95, n_lists=4096, dim=16, assign="udf", pairs="local"
+    )
+    r = sd.agg(
+        F.sum(((~F.col("kept")) & (F.col("vec_id") % 100 == 1)).cast("long")).alias(
+            "dp"
+        )
+    ).collect()[0]
+    times["semdedup_local_1m"] = round(time.time() - t0, 3)
+    assert int(r.dp) == n_funnel // 100, "planted semantic dups not all found"
+    funnel_counts["dsir_top10k_from_target_domain"] = int(n_junk)
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
