@@ -44,17 +44,43 @@ def main() -> None:
     docs = synthetic_docs(spark, n, cpus * 2)
     results = {}
 
+    # plant ONE 100k-line adversarial document (50k distinct lines +
+    # 50k instances of a shared line — the log-file/listing shape real
+    # web dumps contain). The old per-distinct-line scan was
+    # O(distinct x total) ~ 5e9 comparisons inside this single row;
+    # the sorted-run scan keeps it O(L log L). Its exact
+    # dup_line_char_frac is asserted so a wrong rewrite fails here.
+    adv_lines = F.transform(
+        F.sequence(F.lit(0), F.lit(99_999)),
+        lambda i: F.when(
+            i % 2 == 0, F.concat(F.lit("u"), F.lpad(i.cast("string"), 7, "0"))
+        ).otherwise(F.lit("dup-line!")),
+    )
+    adv = spark.range(1).select(
+        F.lit(-1).cast("long").alias("doc_id"),
+        F.array_join(adv_lines, "\n").alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    rdocs = docs.select("doc_id", "text", "lang").unionByName(adv)
+
     t0 = time.perf_counter()
-    rep = repetition_signals(docs)
+    rep = repetition_signals(rdocs)
     r = rep.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("top2gram_char_frac") > 0).cast("long")).alias("n_rep2"),
         F.sum("dup_line_frac").alias("s_dl"),
     ).collect()[0]
+    wall_rep = time.perf_counter() - t0
+    adv_row = rep.where(F.col("doc_id") == -1).collect()[0]
+    expect_adv = (49_999 * 9) / (50_000 * 8 + 50_000 * 9)
+    assert adv_row.n_lines == 100_000 and abs(
+        adv_row.dup_line_char_frac - expect_adv
+    ) < 1e-12, adv_row
     results["repetition_signals"] = {
-        "wall_s": round(time.perf_counter() - t0, 2),
+        "wall_s": round(wall_rep, 2),
         "rows": r.n,
         "docs_with_repeated_2gram": int(r.n_rep2),
+        "adversarial_100k_line_doc": "exact",
     }
 
     boiler = "please subscribe to our newsletter for daily updates and offers"

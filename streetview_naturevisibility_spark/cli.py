@@ -395,6 +395,14 @@ def cmd_curate(args: argparse.Namespace) -> None:
                if r.text is not None]
         neg = [r.text for r in kept_q.where(F.col("text").isNotNull())
                .orderBy("doc_id").limit(n_train).select("doc_id", "text").collect()]
+        if not pos or not neg:
+            # an empty/all-NULL reference (or an already-empty pool)
+            # would reach np.stack([]) deep in the trainer — fail at
+            # the gate with the actual cause instead
+            raise SystemExit(
+                "[clf] --clf-ref/corpus produced no training texts "
+                f"(pos={len(pos)}, neg={len(neg)})"
+            )
         w, bias = train_quality_classifier(pos, neg)
         cp = score_quality_classifier(kept_q, w, bias)
         kept_q = kept_q.join(cp, "doc_id", "left")
@@ -476,11 +484,15 @@ def cmd_curate(args: argparse.Namespace) -> None:
         from .operators.textops import dsir_select
 
         tgt = spark.read.parquet(args.dsir_target)
-        n_before_dsir = n_near
+        # count the ACTUAL pool (semdedup may have shrunk it past
+        # n_near) and the actual kept rows (fewer docs than --dsir-keep
+        # keeps them all) — funnel accounting must not report the ask
+        n_before_dsir = out.count()
         out = dsir_select(
             out, tgt, n=args.dsir_keep, n_buckets=args.dsir_buckets
         ).drop("dsir_logweight")
-        print(f"[dsir] kept={args.dsir_keep} of {n_before_dsir} (target-likeness rank)")
+        n_after_dsir = out.count()
+        print(f"[dsir] kept={n_after_dsir} of {n_before_dsir} (target-likeness rank)")
     if args.sample:
         rates = {
             kv.split("=")[0]: float(kv.split("=")[1])

@@ -61,11 +61,11 @@ def registrable_domain_col(url_col) -> Column:
         ).otherwise(F.concat_ws(".", F.slice(parts, -take, 3)))
 
     def _outer(h):
-        # NULL url -> NULL domain (concat_ws would swallow the NULL
-        # into "")
-        return F.when(h.isNull(), F.lit(None).cast("string")).otherwise(
-            let_col(F.split(h, r"\."), _reg)
-        )
+        # NULL url or no parseable host (scheme-less/relative URL) ->
+        # NULL domain (concat_ws would swallow the NULL into "")
+        return F.when(
+            h.isNull() | (h == ""), F.lit(None).cast("string")
+        ).otherwise(let_col(F.split(h, r"\."), _reg))
 
     return let_col(host_col(url_col), _outer)
 
@@ -81,6 +81,11 @@ def normalize_url_col(url_col) -> Column:
       mc_eid, ref); surviving params SORTED for order-independence;
       an emptied query drops its ``?``
     - trailing ``/`` dropped from a non-root path
+    - URLs with no parseable ``scheme://host`` (relative paths,
+      scheme-less hosts, mailto:) -> NULL: without a host there is no
+      alias evidence, and collapsing every malformed URL onto the
+      shared empty-extract string ``'://'`` would silently dedup
+      unrelated docs (url_dedup keeps all NULL-normalized rows)
 
     Pure codegen: regex extracts + one array_sort over the query
     params. NULL url -> NULL."""
@@ -109,6 +114,9 @@ def normalize_url_col(url_col) -> Column:
             F.length(q) > 0, F.concat(F.lit("?"), q)
         ).otherwise(F.lit("")),
     )
-    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
-        F.concat(scheme, F.lit("://"), host_col(url_col), path, qpart)
+    return let_col(
+        host_col(url_col),
+        lambda h: F.when(
+            u.isNull() | (h == ""), F.lit(None).cast("string")
+        ).otherwise(F.concat(scheme, F.lit("://"), h, path, qpart)),
     )

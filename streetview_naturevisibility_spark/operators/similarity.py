@@ -739,11 +739,18 @@ def kmeans_fit_df(
 
     Spark shape per iteration: centroids broadcast inside a chunked
     Arrow matmul (the ``make_assign_ccos_udf`` buffer discipline),
-    ONE groupBy(list_id) computing per-dimension means
-    (``F.avg(v[i])`` — k x dim rows back to the driver, tiny), empty
-    clusters keep their previous centroid. Total cost: ``iters`` scans
-    + ``iters`` k-row shuffles; nothing driver-side ever holds more
-    than the k x dim centroid matrix.
+    then LONG-FORM mean reduction — ``posexplode(v)`` ->
+    ``groupBy(_lid, pos).avg(val)`` (the ``label_centroids`` shape):
+    the shuffle key is (cluster, dim_pos), partial aggregation
+    combines map-side, and the PLAN carries exactly one aggregate
+    expression regardless of ``dim``. The previous wide shape
+    (``F.avg(v[i]) for i in range(dim)``) fanned out k x dim codegen
+    aggregate columns — plan bloat that breaks down at real embedding
+    dims (384-1024). k x dim rows return to the driver per iteration
+    (a few MB at k=1024, dim=1024); empty clusters keep their previous
+    centroid. Total cost: ``iters`` scans + ``iters`` (k x dim)-row
+    shuffles; nothing driver-side ever holds more than the k x dim
+    centroid matrix.
 
     Init is deterministic and data-dependent: the k lowest-``id_col``
     vectors (callers wanting a seeded random init pass the result of
@@ -760,22 +767,30 @@ def kmeans_fit_df(
     v = F.col("v")
     for _ in range(int(iters)):
         ac = make_assign_ccos_udf(centroids)
-        assigned = (
-            df.select(F.col(vec_col).alias("v"))
-            .withColumn("_lid", ac(v)["list_id"])
-            .where(F.col("_lid").isNotNull())
+        # no isNotNull filter on _lid here: Catalyst pushes such a
+        # filter below the projection and EVALUATES THE UDF TWICE
+        # (two ArrowEvalPython nodes = two matmul passes per
+        # iteration, seen in the plan audit). NULL-assigned rows
+        # (NULL/empty embeddings) explode to nothing or land in a
+        # NULL group the driver skips.
+        assigned = df.select(F.col(vec_col).alias("v")).withColumn(
+            "_lid", ac(v)["list_id"]
         )
         means = (
-            assigned.groupBy("_lid")
-            .agg(
-                F.count(F.lit(1)).alias("_n"),
-                *[F.avg(v[i]).alias(f"m{i}") for i in range(dim)],
-            )
+            assigned.select("_lid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("_lid", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
             .collect()
         )
         nxt = centroids.copy()
+        touched = {
+            int(r["_lid"]) for r in means if r["_lid"] is not None
+        }
+        for lid in touched:
+            nxt[lid] = np.zeros(dim, dtype=np.float64)
         for r in means:
-            nxt[int(r["_lid"])] = [r[f"m{i}"] for i in range(dim)]
+            if r["_lid"] is not None:
+                nxt[int(r["_lid"])][int(r["pos"])] = r["m"]
         centroids = nxt
     return centroids
 

@@ -534,13 +534,12 @@ def repetition_signals(
       repetition).
 
     Physical shape: ZERO shuffle — every feature is per-document, so
-    nothing ever leaves its input row. The line features are codegen
-    HOFs (the duplicate-char sum is O(L^2) in a doc's distinct LINES,
-    bounded per row). The n-gram coverage is a per-row sorted-run
-    scan: build the gram array, ``array_sort`` it (identical grams
-    become adjacent), then one ``F.aggregate`` pass tracks the current
-    run length and the best ``count * len(gram)`` — O(G log G) per doc
-    in the doc's own gram count. The previous shape (explode ->
+    nothing ever leaves its input row. Both the duplicate-line-char
+    sum and the n-gram coverage are per-row sorted-run scans: build
+    the array, ``array_sort`` it (identical elements become adjacent),
+    then one ``F.aggregate`` pass — O(L log L) per doc in the doc's
+    own line/gram count, so a pathological 100k-line document stays
+    linearithmic inside its task. The previous shape (explode ->
     count shuffle -> per-doc max shuffle -> join back) moved every
     gram STRING through two exchanges; measured at 1M docs the scan is
     the difference between a map-only stage and the suite's slowest
@@ -558,13 +557,30 @@ def repetition_signals(
     line_chars = F.aggregate(
         lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
     )
+    # duplicate-instance chars via the SAME sorted-run scan the gram
+    # coverage uses: after array_sort identical lines are adjacent, so
+    # every element equal to its predecessor IS an instance beyond the
+    # first — one O(L log L) pass. (The previous shape ran F.filter
+    # over the full line array once per DISTINCT line: O(distinct x
+    # total) interpreted HOF work inside one row — a 100k-line web
+    # dump document would be ~10^10 comparisons in a single task with
+    # no skew escape. See tests' planted adversarial doc.)
     dup_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0).cast("long"),
-        lambda acc, l: acc
-        + (
-            (F.size(F.filter(lines, lambda x: x == l)) - 1) * F.length(l)
-        ).cast("long"),
+        F.array_sort(lines),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("tot"),
+        ),
+        lambda acc, l: F.struct(
+            l.alias("prev"),
+            (
+                acc["tot"]
+                # NULL prev (first element) compares NULL -> otherwise 0
+                + F.when(l == acc["prev"], F.length(l).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("tot"),
+        ),
+        lambda acc: acc["tot"],
     )
     tk = F.split(F.col(text_col), " ")
 
@@ -783,6 +799,19 @@ def chunk_dedup(
     L = int(chunk_chars)
     if L < 1:
         raise ValueError("chunk_chars must be >= 1")
+    # the packed (id, pos) canonical key needs an integral id: a string
+    # id would implicitly cast to double -> NULL, making _canon NULL and
+    # the != filter drop every kill (silent no-op). Fail fast instead.
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"chunk_dedup needs an integral {id_col!r} (fits 32 bits) "
+            f"for its packed (id, pos) canonical key; got {id_type}"
+        )
     n_full = F.floor(F.length(text_col) / F.lit(L))
 
     def _chunks():
@@ -1207,7 +1236,17 @@ def fix_text_col(text_col: str, passes: int = 1):
             c = F.replace(c, F.lit(bad), F.lit(good))
         c = F.translate(c, _SPACES, " " * len(_SPACES))
         c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "")
-        c = F.replace(c, F.lit("Â"), F.lit(""))
+        # stray-marker strip, RESTRICTED to 'Â' followed by space,
+        # ASCII punctuation, or the latin-1 supplement block U+00A0-BF
+        # (the C2-second-byte range: every genuine mojibake residue —
+        # NBSP 'Â ', double-encoded 'ÃÂ©' — lands there). A bare
+        # replace corrupted legitimate 'Â' before letters (Vietnamese
+        # 'Ân', Romanian/French uppercase Â). Consuming group +
+        # backreference (not lookahead) so the DuckDB twin (RE2, no
+        # lookahead) restates it verbatim.
+        c = F.regexp_replace(
+            c, "Â([\\s\\u00a0-\\u00bf\\p{Punct}])", "$1"
+        )
     return c
 
 

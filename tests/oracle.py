@@ -669,7 +669,7 @@ def duckdb_url_norm_and_domain(pages: pd.DataFrame) -> pd.DataFrame:
           FROM d),
         dom AS (
           SELECT doc_id,
-            CASE WHEN host IS NULL THEN NULL
+            CASE WHEN host IS NULL OR host = '' THEN NULL
                  WHEN np <= (CASE WHEN last2 IN ({sfx}) AND np >= 3 THEN 3 ELSE 2 END)
                    THEN host
                  ELSE array_to_string(list_slice(parts,
@@ -677,7 +677,7 @@ def duckdb_url_norm_and_domain(pages: pd.DataFrame) -> pd.DataFrame:
             END AS domain
           FROM d2)
         SELECT n.doc_id,
-          CASE WHEN n.url IS NULL THEN NULL
+          CASE WHEN n.url IS NULL OR n.host = '' THEN NULL
                ELSE n.scheme || '://' || n.host || n.path ||
                  (CASE WHEN strlen(n.qnorm) > 0 THEN '?' || n.qnorm ELSE '' END)
           END AS url_norm,
@@ -890,7 +890,11 @@ def duckdb_fix_text(
             f"regexp_replace({expr}, "
             "'[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
         )
-        expr = f"replace({expr}, 'Â', '')"
+        # RE2: no lookahead — same consuming group + \1 as the engine
+        expr = (
+            f"regexp_replace({expr}, "
+            "'Â([\\s\\x{00A0}-\\x{00BF}[:punct:]])', '\\1', 'g')"
+        )
     out = con.sql(
         f"""
         SELECT doc_id, {expr} AS text_fixed,

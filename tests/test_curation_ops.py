@@ -100,6 +100,33 @@ class TestRepetitionSignals:
         assert (nl_a.isna() == nl_b.isna()).all()
         assert (nl_a.dropna().to_numpy() == nl_b.dropna().to_numpy()).all()
 
+    def test_100k_line_adversarial_doc(self, spark):
+        """A 100k-line document with ~50k DISTINCT lines — the shape
+        real web dumps contain (log files, generated listings). The
+        old per-distinct-line F.filter scan was O(distinct x total)
+        ~ 5e9 comparisons inside ONE row; the sorted-run scan is
+        O(L log L) and must finish in seconds with the exact value."""
+        import time
+
+        n = 100_000
+        # even lines unique (8 chars each: 'u<7-digit>'), odd lines all
+        # the same 9-char string -> 49_999 duplicate instances
+        lines = [
+            f"u{i:07d}" if i % 2 == 0 else "dup-line!" for i in range(n)
+        ]
+        text = "\n".join(lines)
+        line_chars = 50_000 * 8 + 50_000 * 9
+        docs = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+        t0 = time.time()
+        r = repetition_signals(docs).collect()[0]
+        wall = time.time() - t0
+        assert r.n_lines == n
+        # distinct = 50_000 uniques + 1 shared = 50_001
+        assert r.dup_line_frac == (n - 50_001) / n
+        # dup instances: 49_999 copies of the 9-char line
+        assert r.dup_line_char_frac == (49_999 * 9) / line_chars
+        assert wall < 60, f"adversarial doc took {wall:.1f}s"
+
 
 BOILER = "subscribe to our newsletter"
 FOOTER = "all rights reserved"
@@ -372,6 +399,18 @@ class TestChunkDedup:
         assert out[3].text_deduped == ""            # repeat of doc1's aaaa
         assert out[3].n_removed == 2
 
+    def test_string_id_fails_fast(self, spark):
+        # a string id would NULL the packed canonical key and silently
+        # no-op every kill — the operator must reject it at plan time
+        import pytest as _pt
+
+        docs = spark.createDataFrame(
+            [("a", "aaaabbbb"), ("b", "aaaabbbb")],
+            "doc_id: string, text: string",
+        )
+        with _pt.raises(TypeError, match="integral"):
+            chunk_dedup(docs, chunk_chars=4)
+
     def test_duckdb_twin(self, spark):
         import pandas as pd
 
@@ -435,6 +474,11 @@ def _url_corpus():
         (8, None),
         (9, "https://example.com/"),                      # root slash kept
         (10, "https://example.com/?gclid=1"),
+        # no parseable scheme://host -> NULL norm (no alias evidence):
+        # these three UNRELATED docs must NOT collapse onto each other
+        (11, "relative/path/only.html"),
+        (12, "example.com/no-scheme"),
+        (13, "mailto:someone@example.com"),
     ]
 
 
@@ -462,6 +506,9 @@ class TestUrlCuration:
         assert out[8].u is None and out[8].d is None
         assert out[9].u == "https://example.com/"
         assert out[10].u == "https://example.com/"
+        # malformed URLs: NULL norm + NULL domain, never '://' collapse
+        for i in (11, 12, 13):
+            assert out[i].u is None and out[i].d is None
 
     def test_duckdb_twin(self, spark):
         import pandas as pd
@@ -495,10 +542,14 @@ class TestUrlCuration:
         assert 0 in ids and 1 not in ids
         assert 9 in ids and 10 not in ids
         assert 8 in ids
+        # unrelated malformed URLs (NULL norm) are ALL kept — the
+        # regression the ADVICE empirically demonstrated was 11/12/13
+        # collapsing onto one survivor via the shared '://' string
+        assert {11, 12, 13} <= ids
         assert "url_norm" in kept.columns
         roll = {r.domain: r for r in domain_rollup(docs).collect()}
         assert roll["example.com"].n_pages == 5  # docs 0,1,2,9,10
         assert roll["example.com"].n_urls == 3   # a/b, a/b(no-?), root
         assert roll["shop.co.uk"].n_pages == 3
         assert roll["localhost"].n_pages == 1
-        assert roll[None].n_pages == 1  # the NULL-url doc
+        assert roll[None].n_pages == 4  # NULL url + 3 malformed

@@ -512,6 +512,26 @@ def test_kmeans_fit_df_matches_numpy_lloyd(spark):
         kmeans_fit_df(_spark_emb(spark, pdf.head(3)), k=5, iters=1, dim=DIM)
 
 
+def test_kmeans_fit_df_realistic_dim(spark):
+    """dim=256 (the regime that motivated the long-form rewrite: the
+    old per-dimension ``F.avg(v[i])`` fan-out put k x 256 aggregate
+    expressions in ONE plan). posexplode -> groupBy(_lid, pos) keeps a
+    single aggregate expression at any dim; values must still match
+    NumPy Lloyd from the same init."""
+    big_dim = 256
+    rng = np.random.RandomState(23)
+    vecs = rng.randn(120, big_dim)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(120)),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    got = kmeans_fit_df(_spark_emb(spark, pdf), k=4, iters=3, dim=big_dim)
+    exp = _np_lloyd(vecs, vecs[:4].copy(), iters=3)
+    np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+
 def test_semantic_dedup_accepts_fitted_centroids(spark):
     """A data-adapted quantizer plugs in via centroids=: planted
     exact-dup pair still collapses (identical vectors share a cluster
@@ -620,6 +640,10 @@ def _fix_fixture():
         (5, "already clean text"),
         (6, ""),
         (7, None),
+        # legitimate U+00C2 before a letter must SURVIVE (Vietnamese
+        # 'Ân'); the marker strip only fires before space/punct
+        (8, "Vietnamese Ân Độ stays"),
+        (9, "residueÂ , markÂ."),
     ]
     return pd.DataFrame(rows, columns=["doc_id", "text"])
 
@@ -639,6 +663,8 @@ def test_fix_text_hand_goldens(spark):
     assert out[5] == ("already clean text", False)
     assert out[6] == ("", False)
     assert out[7] == (None, False)
+    assert out[8] == ("Vietnamese Ân Độ stays", False)
+    assert out[9] == ("residue , mark.", True)
 
 
 def test_fix_text_matches_duckdb_twin(spark):

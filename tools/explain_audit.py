@@ -583,6 +583,69 @@ def main() -> None:
         ("fix_text: map-only repair chain, zero shuffle", ft, p19, ok19, n19)
     )
 
+    # 20. k-means mean reduction (one Lloyd iteration's shuffle): the
+    # LONG-FORM shape — posexplode -> groupBy(_lid, pos) -> avg — must
+    # carry ONE aggregate expression regardless of embedding dim (the
+    # wide per-dimension F.avg(v[i]) fan-out put k x dim codegen
+    # aggregate columns in the plan). Assert: a single hash-partitioned
+    # exchange on (_lid, pos), partial+final HashAggregate, and no
+    # per-dim alias (m1/m17/...) anywhere in the plan text.
+    import numpy as _np
+
+    from streetview_naturevisibility_spark.operators.similarity import (
+        make_assign_ccos_udf,
+    )
+
+    emb20 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents20 = _np.stack(
+        [
+            _np.asarray(r[0], dtype=_np.float64)
+            for r in emb20.select("embedding").orderBy("vec_id").limit(4).collect()
+        ]
+    )
+    ac20 = make_assign_ccos_udf(cents20)
+    means20 = (
+        emb20.select(F.col("embedding").alias("v"))
+        .withColumn("_lid", ac20(F.col("v"))["list_id"])
+        .select("_lid", F.posexplode("v").alias("pos", "val"))
+        .groupBy("_lid", "pos")
+        .agg(F.avg(F.col("val").cast("double")).alias("m"))
+    )
+    p20 = plan_of(means20)
+    ok20, n20 = check(
+        "kmeans long-form means",
+        p20,
+        must=["posexplode(", "HashAggregate", "hashpartitioning(_lid"],
+        must_not=["m17#", "SortAggregate", "SortMergeJoin", "CartesianProduct"],
+    )
+    # exactly ONE exchange (the (_lid, pos) agg — assignment UDF and
+    # explode are map-side) and exactly ONE ArrowEvalPython: a NULL
+    # filter on _lid used to get pushed below the projection and
+    # re-evaluated the assignment UDF (= a second matmul pass per
+    # Lloyd iteration)
+    n_ex = p20.count("+- Exchange")
+    n_py = p20.count(") ArrowEvalPython")
+    if n_ex != 1 or n_py != 1:
+        ok20 = False
+        n20 += (
+            f"  - FAIL: expected 1 Exchange / 1 ArrowEvalPython, "
+            f"found {n_ex} / {n_py}\n"
+        )
+    else:
+        n20 += (
+            "  - PASS: exactly 1 Exchange ((_lid, pos) aggregate) and "
+            "1 ArrowEvalPython (single assignment matmul)\n"
+        )
+    sections.append(
+        (
+            "k-means mean reduction: long-form (_lid, pos) aggregate, dim-independent plan",
+            means20,
+            p20,
+            ok20,
+            n20,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
