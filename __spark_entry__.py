@@ -1149,6 +1149,618 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(10)
 
 
+# =================================================================
+# Round-6 rotation: the curation/selection operator family gets the
+# hard driver-gate signal (fix_text, repetition, paragraph/chunk
+# dedup, token budget, packing, DSIR, SemDeDup, classifier scoring,
+# URL dedup). The ten round-1 single-expression rows they replace
+# moved to retired_queries()/retired_oracle_sql(), gated by
+# tests/test_retired_contract.py. Where the operator needs corpus
+# structure the flat `documents` table lacks (mojibake, line/para
+# layout, shared substrings, URLs), BOTH engines derive it with the
+# same pinned textual transformation — the sources/derived.py
+# contract, applied to text.
+# =================================================================
+from streetview_naturevisibility_spark.operators.textops import (  # noqa: E402
+    _SPACES as _FT_SPACES,
+)
+from streetview_naturevisibility_spark.operators.textops import (  # noqa: E402
+    MOJIBAKE_TABLE as _FT_TABLE,
+)
+
+# corruption plan (doc_id % 3): 0 -> mojibake 'the'->'thÃ©';
+# 1 -> control char + stray-marker tail; 2 -> already clean
+_FT_MOJI_BAD = "thÃ©"
+_FT_TAIL = "\x01 tailÂ end"  # repairs to ' tail end'
+
+
+def q_fix_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fix_text over a deterministically corrupted documents view:
+    mojibake restored, control chars stripped, stray marker removed,
+    clean docs pass through with changed=false."""
+    from streetview_naturevisibility_spark.operators.textops import fix_text
+
+    docs = load(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    corrupted = (
+        F.when(m == 0, F.replace(F.col("text"), F.lit("the"), F.lit(_FT_MOJI_BAD)))
+        .when(m == 1, F.concat(F.col("text"), F.lit(_FT_TAIL)))
+        .otherwise(F.col("text"))
+    )
+    return fix_text(docs.select("doc_id", corrupted.alias("text")))
+
+
+def _fix_text_oracle_sql() -> str:
+    expr = "text"
+    for bad, good in _FT_TABLE:
+        b = bad.replace("'", "''")
+        g = good.replace("'", "''")
+        expr = f"replace({expr}, '{b}', '{g}')"
+    plain = "'" + " " * len(_FT_SPACES) + "'"
+    expr = f"translate({expr}, '{_FT_SPACES}', {plain})"
+    expr = (
+        f"regexp_replace({expr}, "
+        "'[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]', '', 'g')"
+    )
+    expr = (
+        f"regexp_replace({expr}, "
+        "'Â([\\s\\x{00A0}-\\x{00BF}[:punct:]])', '\\1', 'g')"
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN replace(text, 'the', '{_FT_MOJI_BAD}')
+              WHEN doc_id % 3 = 1 THEN text || chr(1) || ' tailÂ end'
+              ELSE text END AS text
+  FROM documents)
+SELECT doc_id, {expr} AS text_fixed,
+       {expr} IS DISTINCT FROM text AS changed
+FROM src"""
+
+
+def q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals over a LINED documents view (tokens
+    re-joined two per line, so duplicate-line features have real
+    support at the ~30-word vocabulary)."""
+    from streetview_naturevisibility_spark.operators.textops import (
+        repetition_signals,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(tk), F.lit(2))
+    lined = F.array_join(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, 2))),
+        "\n",
+    )
+    return repetition_signals(docs.select("doc_id", lined.alias("text")))
+
+
+def _repetition_oracle_sql() -> str:
+    # independent formulation on purpose: the twin computes the
+    # duplicate-line char sum with the per-distinct-line filter scan
+    # and the gram coverage with a group-by — the engine uses
+    # sorted-run passes; values must still agree exactly
+    top_ns = (2, 3, 4)
+    ns = ", ".join(str(n) for n in top_ns)
+    covs = ", ".join(
+        f"max(CASE WHEN n = {n} THEN cnt * strlen(g) END) AS cov{n}"
+        for n in top_ns
+    )
+    outs = ", ".join(
+        f"CASE WHEN lf.n_chars > 0 THEN coalesce(cov.cov{n}, 0) / CAST(lf.n_chars AS DOUBLE) "
+        f"ELSE 0.0 END AS top{n}gram_char_frac"
+        for n in top_ns
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         array_to_string(
+           [array_to_string(t0[i:i+1], ' ')
+            FOR i IN generate_series(1, len(t0), 2)], chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents)),
+d AS (
+  SELECT doc_id, strlen(text) AS n_chars,
+         string_split(text, chr(10)) AS lines,
+         string_split(text, ' ') AS t
+  FROM src),
+lf AS (
+  SELECT doc_id, n_chars, len(lines) AS n_lines,
+    (len(lines) - len(list_distinct(lines))) / CAST(len(lines) AS DOUBLE)
+      AS dup_line_frac,
+    list_sum(list_transform(lines, x -> strlen(x))) AS line_chars,
+    list_sum(list_transform(list_distinct(lines),
+      l -> (len(list_filter(lines, x -> x = l)) - 1) * strlen(l)))
+      AS dup_chars
+  FROM d),
+g AS (
+  SELECT doc_id, n, array_to_string(t[i:i+n-1], ' ') AS g
+  FROM d, UNNEST([{ns}]) AS nn(n),
+       UNNEST(generate_series(1, len(t) - n + 1)) AS ii(i)),
+cnts AS (
+  SELECT doc_id, n, g, count(*) AS cnt FROM g
+  GROUP BY doc_id, n, g HAVING count(*) >= 2),
+cov AS (SELECT doc_id, {covs} FROM cnts GROUP BY doc_id)
+SELECT lf.doc_id, CAST(lf.n_lines AS INTEGER) AS n_lines, lf.dup_line_frac,
+  CASE WHEN lf.line_chars > 0
+       THEN lf.dup_chars / CAST(lf.line_chars AS DOUBLE)
+       ELSE 0.0 END AS dup_line_char_frac,
+  {outs}
+FROM lf LEFT JOIN cov ON lf.doc_id = cov.doc_id"""
+
+
+_PAR_BOILER = "subscribe to our newsletter today"
+_PAR_FOOTER = "all rights reserved worldwide"
+_PAR_SEP_SQL = "('' || chr(10) || '' || chr(10) || '')"
+
+
+def q_paragraph_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level paragraph dedup over documents with two planted
+    cross-doc boilerplate paragraphs (doc_id % 2 / % 5): every
+    common paragraph is removed from EVERY doc, order preserved."""
+    from streetview_naturevisibility_spark.operators.textops import (
+        paragraph_dedup,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("\n\n" + _PAR_BOILER)).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\n\n" + _PAR_FOOTER)).otherwise(
+            F.lit("")
+        ),
+    )
+    return paragraph_dedup(docs.select("doc_id", text2.alias("text")))
+
+
+def _paragraph_oracle_sql() -> str:
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN chr(10) || chr(10) || '{_PAR_BOILER}' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || chr(10) || '{_PAR_FOOTER}' ELSE '' END AS text
+  FROM documents),
+p AS (
+  SELECT doc_id, i AS pos, parts[i] AS para
+  FROM (SELECT doc_id, string_split(text, {_PAR_SEP_SQL}) AS parts FROM src),
+       UNNEST(generate_series(1, len(parts))) AS u(i)),
+common AS (
+  SELECT para FROM p GROUP BY para HAVING count(DISTINCT doc_id) > 1),
+kept AS (SELECT * FROM p WHERE para NOT IN (SELECT para FROM common)),
+reb AS (
+  SELECT doc_id, string_agg(para, {_PAR_SEP_SQL} ORDER BY pos) AS text_deduped,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.text_deduped, '') AS text_deduped,
+       t.n_paras, t.n_paras - coalesce(r.n_kept, 0) AS n_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)"""
+
+
+# exactly 40 chars = two 20-char chunks shared by every doc
+_CHUNK_HDR = "shared-corpus-header-0123456789abcdefghi"[:40]
+assert len(_CHUNK_HDR) == 40
+
+
+def q_chunk_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRO-chunk exact substring dedup over documents carrying a
+    shared 40-char header (= two 20-char chunks duplicated across the
+    whole corpus; the min-(doc_id,pos) canonical survives)."""
+    from streetview_naturevisibility_spark.operators.textops import chunk_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_dedup(
+        docs.select(
+            "doc_id", F.concat(F.lit(_CHUNK_HDR), F.col("text")).alias("text")
+        ),
+        chunk_chars=20,
+    )
+
+
+def _chunk_oracle_sql() -> str:
+    L = 20
+    return f"""
+WITH src AS (
+  SELECT doc_id, '{_CHUNK_HDR}' || text AS text FROM documents),
+d AS (
+  SELECT doc_id, text, strlen(text) // {L} AS nf FROM src),
+ch AS (
+  SELECT doc_id, i AS pos,
+         substring(text, CAST(i * {L} + 1 AS INT), {L}) AS chunk,
+         md5(substring(text, CAST(i * {L} + 1 AS INT), {L})) AS ck
+  FROM d, UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS t(i)),
+dup AS (
+  SELECT ck, min(doc_id * 2147483648 + pos) AS canon
+  FROM ch GROUP BY ck HAVING count(*) > 1),
+kill AS (
+  SELECT doc_id, pos FROM ch JOIN dup USING (ck)
+  WHERE doc_id * 2147483648 + pos != canon),
+kept AS (
+  SELECT ch.doc_id,
+         string_agg(chunk, '' ORDER BY ch.pos) AS body,
+         count(*) AS n_kept
+  FROM ch LEFT JOIN kill
+    ON ch.doc_id = kill.doc_id AND ch.pos = kill.pos
+  WHERE kill.pos IS NULL
+  GROUP BY ch.doc_id)
+SELECT d.doc_id,
+       coalesce(kept.body, '') ||
+         substring(d.text, CAST(d.nf * {L} + 1 AS INT)) AS text_deduped,
+       coalesce(d.nf, 0) AS n_chunks,
+       coalesce(d.nf, 0) - coalesce(kept.n_kept, 0) AS n_removed
+FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id"""
+
+
+TB_BUDGETS = {"en": 5000, "de": 2000}
+TB_DEFAULT = 1500
+
+
+def q_token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing per language (bucketed two-phase
+    method — the oracle is the single-window restatement it must
+    recompose to bit-identically). Quality derives from doc_id with
+    pinned integer arithmetic so both engines order identically."""
+    from streetview_naturevisibility_spark.operators.corpus import (
+        token_budget_select,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    q = ((F.col("doc_id") * 37) % 101).cast("double") / F.lit(100.0)
+    d2 = docs.select("doc_id", "text", "lang", q.alias("quality_score"))
+    out = token_budget_select(d2, TB_BUDGETS, default_budget=TB_DEFAULT)
+    return out.select("doc_id", "lang", "quality_score", "n_tokens")
+
+
+def _token_budget_oracle_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v)}" for k, v in sorted(TB_BUDGETS.items())
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         ((doc_id * 37) % 101) / 100.0 AS quality_score,
+         coalesce(len(string_split(text, ' ')), 0) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (
+    PARTITION BY lang
+    ORDER BY quality_score DESC NULLS LAST, doc_id ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t)
+SELECT doc_id, lang, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c
+WHERE cum <= (CASE lang {cases} ELSE {TB_DEFAULT} END)"""
+
+
+PACK_BUDGET = 512
+
+
+def q_pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: contiguous id-order bin assignment via the
+    bucketed exclusive-prefix-sum decomposition (the oracle is the
+    single global window it must equal exactly)."""
+    from streetview_naturevisibility_spark.operators.corpus import (
+        pack_assignments,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return pack_assignments(docs, budget_tokens=PACK_BUDGET)
+
+
+def _pack_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id,
+                  coalesce(len(string_split(text, ' ')), 0) AS n_tokens
+           FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(before / {PACK_BUDGET}) AS BIGINT) AS bin_id
+FROM c"""
+
+
+DSIR_B = 2000
+
+
+def q_dsir_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with target = the English slice of the
+    same corpus (the published target-subset-of-raw setup)."""
+    from streetview_naturevisibility_spark.operators.textops import dsir_score
+
+    docs = load(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select("text")
+    return dsir_score(docs, target, n_buckets=DSIR_B)
+
+
+def _dsir_oracle_sql() -> str:
+    B = DSIR_B
+    bucket = "CAST('0x' || substring(md5({g}), 1, 15) AS BIGINT) % " + str(B)
+    bi_gram = "t[i] || ' ' || t[i+1]"
+    feats = (
+        "list_concat("
+        f"  list_transform(t, w -> {bucket.format(g='w')}),"
+        f"  [{bucket.format(g=bi_gram)}"
+        "    FOR i IN generate_series(1, len(t) - 1)])"
+    )
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE text IS NOT NULL),
+tg AS (SELECT string_split(text, ' ') AS t FROM documents
+       WHERE text IS NOT NULL AND lang = 'en'),
+dfeat AS (SELECT doc_id, unnest({feats}) AS b FROM d),
+tfeat AS (SELECT unnest({feats}) AS b FROM tg),
+ct AS (SELECT b, count(*) AS c FROM tfeat GROUP BY b),
+cr AS (SELECT b, count(*) AS c FROM dfeat GROUP BY b),
+tt AS (SELECT coalesce(sum(c), 0) AS T FROM ct),
+tr AS (SELECT coalesce(sum(c), 0) AS T FROM cr)
+SELECT doc_id,
+       round(sum(
+           ln((coalesce(ct.c, 0) + 1.0) / (tt.T + 1.0 * {B}))
+         - ln((coalesce(cr.c, 0) + 1.0) / (tr.T + 1.0 * {B}))
+       ), 6) AS dsir_logweight,
+       count(*) AS n_feats
+FROM dfeat
+LEFT JOIN ct USING (b)
+LEFT JOIN cr USING (b)
+CROSS JOIN tt CROSS JOIN tr
+GROUP BY doc_id"""
+
+
+SD_THRESHOLD = 0.95
+
+
+def q_semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the planted-duplicate embedding view
+    (sources/derived.spark_embeddings_aug): the 2x-scaled clones have
+    pair cosine exactly 1.0 and bit-equal centroid cosine, so at
+    threshold 0.95 exactly the clones die, by the lower-id tie-break."""
+    from streetview_naturevisibility_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    emb = D.spark_embeddings_aug(spark, sf_dir)
+    return semantic_dedup(emb, threshold=SD_THRESHOLD)
+
+
+def _semdedup_oracle_sql(
+    threshold: float = SD_THRESHOLD,
+    n_lists: int = 8,
+    dim: int = 64,
+    seed: int = 21,
+) -> str:
+    import numpy as np
+
+    from streetview_naturevisibility_spark.operators.similarity import (
+        pinned_centroids,
+    )
+
+    cents = pinned_centroids(n_lists, dim, seed)
+    lit = lambda c: "[" + ", ".join(repr(float(v)) for v in c) + "]"  # noqa: E731
+
+    def sqd(vec, c):
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lit(c)}),"
+            " p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))"
+        )
+
+    def norm(vec):
+        return (
+            f"sqrt(list_sum(list_transform({vec},"
+            " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        )
+
+    def ccos(vec, c):
+        nq = repr(float(np.sqrt(np.sum(np.asarray(c, dtype=np.float64) ** 2))))
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lit(c)}),"
+            f" p -> CAST(p[1] AS DOUBLE) * p[2])) / ({norm(vec)} * {nq})"
+        )
+
+    dl = "[" + ",\n      ".join(sqd("embedding", c) for c in cents) + "]"
+    ca = "[" + ",\n      ".join(ccos("embedding", c) for c in cents) + "]"
+    paircos = (
+        "list_sum(list_transform(list_zip(a.v, b.v),"
+        " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+        f" / ({norm('a.v')} * {norm('b.v')})"
+    )
+    return (
+        D.with_clause(D.embeddings_aug_sql())
+        + f""",
+s0 AS (SELECT vec_id AS id, embedding AS v,
+              {dl} AS dl, {ca} AS ca
+       FROM emb_aug),
+s AS (SELECT id, v,
+             list_position(dl, list_min(dl)) - 1 AS list_id,
+             ca[list_position(dl, list_min(dl))] AS ccos
+      FROM s0),
+dom AS (SELECT DISTINCT a.id
+        FROM s a JOIN s b
+          ON a.list_id = b.list_id AND a.id <> b.id
+        WHERE {paircos} >= {threshold!r}
+          AND (b.ccos > a.ccos OR (b.ccos = a.ccos AND b.id < a.id)))
+SELECT id AS vec_id, CAST(list_id AS INT) AS list_id,
+       round(ccos, 6) AS centroid_cos,
+       id NOT IN (SELECT id FROM dom) AS kept
+FROM s"""
+    )
+
+
+CLF_B = 512
+CLF_BIAS = 0.25
+_CLF_MIX = 2654435761  # Knuth multiplicative constant
+
+
+def _pinned_clf_weights():
+    import numpy as np
+
+    b = np.arange(CLF_B, dtype=np.int64)
+    return ((b * _CLF_MIX) % 2001 - 1000) / 1000.0
+
+
+def q_clf_score_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier scoring with a PINNED weight
+    vector (w[b] derives from b with integer arithmetic both engines
+    restate) — the broadcast-weights + one-margin-shuffle plan the
+    trained path uses; training itself is pytest-gated (driver-side,
+    not SQL-expressible)."""
+    from streetview_naturevisibility_spark.operators.textops import (
+        score_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    return score_quality_classifier(docs, _pinned_clf_weights(), bias=CLF_BIAS)
+
+
+def _clf_oracle_sql() -> str:
+    B = CLF_B
+    bucket = "CAST('0x' || substring(md5({g}), 1, 15) AS BIGINT) % " + str(B)
+    bi_gram = "t[i] || ' ' || t[i+1]"
+    feats = (
+        "list_concat("
+        f"  list_transform(t, w -> {bucket.format(g='w')}),"
+        f"  [{bucket.format(g=bi_gram)}"
+        "    FOR i IN generate_series(1, len(t) - 1)])"
+    )
+    w_of_b = f"(((b * {_CLF_MIX}) % 2001 - 1000) / 1000.0)"
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+           WHERE text IS NOT NULL),
+f0 AS (SELECT doc_id, {feats} AS fb FROM d),
+df AS (SELECT doc_id, unnest(fb) AS b, 1.0 / len(fb) AS inv_n FROM f0)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(sum({w_of_b} * inv_n) + {CLF_BIAS!r}))), 6)
+         AS clf_prob
+FROM df GROUP BY doc_id"""
+
+
+def _url_src_spark(docs: DataFrame) -> DataFrame:
+    pg = F.floor(F.col("doc_id") / 2).cast("long")
+    dom = F.concat(
+        F.lit("site"),
+        (pg % 7).cast("string"),
+        F.when(pg % 7 == 3, F.lit(".co.uk")).otherwise(F.lit(".com")),
+    )
+    url = (
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit("page-"), F.col("doc_id").cast("string"), F.lit("-relative.html")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("https://"), dom, F.lit("/p/"), pg.cast("string"), F.lit("?q=1&b=2")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("HTTPS://user:pw@"),
+                F.upper(dom),
+                F.lit(":443/p/"),
+                pg.cast("string"),
+                F.lit("/?utm_source=x&b=2&q=1#frag"),
+            )
+        )
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL alias-collapse dedup + registrable domain over URLs derived
+    from doc_id (pairs of alias URLs — tracking params, userinfo,
+    default port, case, trailing slash, fragment — plus scheme-less
+    malformed rows that must ALL survive with NULL norm)."""
+    from streetview_naturevisibility_spark.functions.url import (
+        registrable_domain_col,
+    )
+    from streetview_naturevisibility_spark.operators.corpus import url_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    kept = url_dedup(_url_src_spark(docs))
+    return kept.select(
+        "doc_id", "url_norm", registrable_domain_col("url").alias("domain")
+    )
+
+
+def _url_oracle_sql() -> str:
+    from streetview_naturevisibility_spark.functions.url import (
+        TWO_LABEL_SUFFIXES,
+    )
+
+    sfx = ", ".join(f"'{s}'" for s in TWO_LABEL_SUFFIXES)
+    track = r"^(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid|ref)="
+    return f"""
+WITH src AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 11 = 0
+           THEN 'page-' || CAST(doc_id AS VARCHAR) || '-relative.html'
+         WHEN doc_id % 2 = 0
+           THEN 'https://' || dom || '/p/' || CAST(pg AS VARCHAR) || '?q=1&b=2'
+         ELSE 'HTTPS://user:pw@' || upper(dom) || ':443/p/'
+              || CAST(pg AS VARCHAR) || '/?utm_source=x&b=2&q=1#frag'
+    END AS url
+  FROM (SELECT doc_id, doc_id // 2 AS pg,
+               'site' || CAST((doc_id // 2) % 7 AS VARCHAR) ||
+               CASE WHEN (doc_id // 2) % 7 = 3 THEN '.co.uk' ELSE '.com' END AS dom
+        FROM documents)),
+t AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+    lower(string_split(string_split(
+      regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1),
+      '@')[-1], ':')[1]) AS host,
+    regexp_extract(url, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM src),
+n AS (
+  SELECT doc_id, url, scheme, host,
+    CASE WHEN strlen(path0) > 1 AND path0 LIKE '%/'
+         THEN substring(path0, 1, strlen(path0) - 1)
+         ELSE path0 END AS path,
+    array_to_string(list_sort(list_filter(string_split(query, '&'),
+      p -> strlen(p) > 0 AND NOT regexp_matches(p, '{track}')
+    )), '&') AS qnorm
+  FROM t),
+d AS (SELECT doc_id, host, string_split(host, '.') AS parts FROM n),
+d2 AS (
+  SELECT doc_id, host, parts, len(parts) AS np,
+    array_to_string(list_slice(parts, greatest(len(parts)-1, 1), len(parts)), '.') AS last2
+  FROM d),
+dm AS (
+  SELECT doc_id,
+    CASE WHEN host IS NULL OR host = '' THEN NULL
+         WHEN np <= (CASE WHEN last2 IN ({sfx}) AND np >= 3 THEN 3 ELSE 2 END)
+           THEN host
+         ELSE array_to_string(list_slice(parts,
+           np - (CASE WHEN last2 IN ({sfx}) AND np >= 3 THEN 3 ELSE 2 END) + 1, np), '.')
+    END AS domain
+  FROM d2),
+sel AS (
+  SELECT n.doc_id,
+    CASE WHEN n.url IS NULL OR n.host = '' THEN NULL
+         ELSE n.scheme || '://' || n.host || n.path ||
+           (CASE WHEN strlen(n.qnorm) > 0 THEN '?' || n.qnorm ELSE '' END)
+    END AS url_norm,
+    dm.domain
+  FROM n JOIN dm USING (doc_id)),
+keepers AS (
+  SELECT url_norm, min(doc_id) AS doc_id FROM sel
+  WHERE url_norm IS NOT NULL GROUP BY url_norm)
+SELECT s.doc_id, s.url_norm, s.domain FROM sel s
+WHERE s.url_norm IS NULL
+   OR EXISTS (SELECT 1 FROM keepers k
+              WHERE k.url_norm = s.url_norm AND k.doc_id = s.doc_id)"""
+
+
 # ---------------------------------------------------------------- oracle
 def oracle_sql() -> dict[str, str]:
     hexagon = D.hex_polygon()
@@ -1159,10 +1771,6 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": pages_only(
             "SELECT tile_x, tile_y, count(*) AS n_pages FROM pages GROUP BY tile_x, tile_y"
-        ),
-        "cell_topk": pages_only(
-            "SELECT cell_id, count(*) AS n_pages FROM pages GROUP BY cell_id "
-            "ORDER BY n_pages DESC, cell_id LIMIT 20"
         ),
         "knn_snap": geo(
             "SELECT point_id, page_url, snap_distance, is_panoramic, missing FROM gvi"
@@ -1235,10 +1843,6 @@ FROM g1 GROUP BY highway ORDER BY total_null DESC, highway LIMIT 5"""
         "pip_hexagon": pages_only(
             f"SELECT lang, count(*) AS n_pages FROM pages WHERE {hex_pred} GROUP BY lang"
         ),
-        "cell_rollup": pages_only(
-            "SELECT (CAST(10 AS BIGINT) * 288230376151711744 + CAST(CAST(least(greatest(floor(((lon)/360.0 + 0.5) * 1024.0), 0), 1023) AS INTEGER) AS BIGINT) * 536870912 + CAST(CAST(least(greatest(floor((0.5 - (ln((tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) + sqrt((tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))))*(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) + 1.0)))/6.283185307179586) * 1024.0), 0), 1023) AS INTEGER) AS BIGINT)) AS coarse_cell, "
-            "count(*) AS n_pages FROM pages GROUP BY 1"
-        ),
         "zonal_mean": D.with_clause(D.points_sql(), D.grid_sql())
         + f"""
 SELECT q.point_id, round(avg(greatest(g.value, 0.0)), 3) AS mean_ndvi
@@ -1259,35 +1863,6 @@ totals AS (SELECT point_id, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY
 SELECT c.point_id, c.lc_class, CAST(c.n AS BIGINT) AS cell_count,
        CAST(round(c.n * 100.0 / t.total, 3) AS VARCHAR) || '%' AS pct
 FROM counts c JOIN totals t ON c.point_id = t.point_id""",
-        "anti_join_resume": D.with_clause(D.points_sql())
-        + """
-SELECT point_id, road_id FROM points
-WHERE point_id NOT IN (SELECT point_id FROM points WHERE point_id % 3 = 0)""",
-        "union_dedup": pages_only(
-            """
-SELECT id, shard, round(v, 6) AS v FROM (
-  SELECT *, row_number() OVER (PARTITION BY id ORDER BY shard) AS rn FROM (
-    SELECT doc_id AS id, 1 AS shard, gvi0 AS v FROM pages WHERE doc_id % 2 = 0
-    UNION ALL
-    SELECT doc_id AS id, 2 AS shard, gvi0 + 1.0 AS v FROM pages WHERE doc_id % 3 = 0
-  )
-) WHERE rn = 1"""
-        ),
-        "validity_filter": pages_only(
-            """
-SELECT doc_id, s FROM (
-  SELECT doc_id,
-         CASE WHEN doc_id % 7 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
-              ELSE CAST(doc_id AS VARCHAR) END AS s
-  FROM pages
-) WHERE TRY_CAST(s AS DOUBLE) IS NOT NULL"""
-        ),
-        "bbox_slice": pages_only(
-            """
-SELECT doc_id, lang, round(x, 6) AS x, round(y, 6) AS y FROM pages
-WHERE x BETWEEN 1000.0 AND 4000.0 AND y BETWEEN 2000.0 AND 8000.0
-  AND doc_id >= 100 AND doc_id < 2000"""
-        ),
         "gap_fill_linreg": geo(
             f"""
 , feat AS (
@@ -1449,30 +2024,6 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
                   v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
   FROM emb_aug a JOIN emb_aug b ON a.vec_id < b.vec_id
 ) WHERE cosine >= 0.95""",
-        "text_stats": (
-            "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
-            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
-            "round((length(text) - (len(string_split(text, ' ')) - 1)) / "
-            "CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len "
-            "FROM documents"
-        ),
-        "lang_rollup": (
-            "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars "
-            "FROM documents GROUP BY lang"
-        ),
-        "edge_dedup": """
-WITH edges AS (
-  SELECT DISTINCT l_orderkey % 100 AS u, l_partkey % 97 AS v FROM lineitem)
-SELECT u, v FROM (
-  SELECT u, v,
-         row_number() OVER (PARTITION BY least(u, v), greatest(u, v) ORDER BY u, v) AS rn
-  FROM edges
-) WHERE rn = 1""",
-        "bounds": D.with_clause(D.pages_sql())
-        + """
-SELECT round(min(x), 6) AS min_x, round(min(y), 6) AS min_y,
-       round(max(x), 6) AS max_x, round(max(y), 6) AS max_y
-FROM pages""",
         "overlay_ratio": D.with_clause(D.points_sql(), D.grid_sql())
         + f"""
 SELECT q.point_id,
@@ -1518,13 +2069,112 @@ FROM s GROUP BY user_id, sess_id""",
             "JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_custkey, c.c_name ORDER BY revenue DESC, c.c_custkey LIMIT 10"
         ),
+        # -------- round-6 rotation: curation/selection family --------
+        "fix_text": _fix_text_oracle_sql(),
+        "repetition_signals": _repetition_oracle_sql(),
+        "paragraph_dedup": _paragraph_oracle_sql(),
+        "chunk_dedup": _chunk_oracle_sql(),
+        "token_budget": _token_budget_oracle_sql(),
+        "pack_assignments": _pack_oracle_sql(),
+        "dsir_score": _dsir_oracle_sql(),
+        "semantic_dedup": _semdedup_oracle_sql(),
+        "clf_score": _clf_oracle_sql(),
+        "url_dedup": _url_oracle_sql(),
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-1 single-expression rows rotated OUT of the 50-slot
+    driver gate in round 6 (each had been hash-green for five rounds)
+    to make room for the round-5 operator family. Still value-checked
+    every test run by tests/test_retired_contract.py — the coverage is
+    unchanged, only the reporting surface moved."""
+    return {
+        "cell_topk": q_cell_topk,
+        "cell_rollup": q_cell_rollup,
+        "anti_join_resume": q_anti_join_resume,
+        "union_dedup": q_union_dedup,
+        "validity_filter": q_validity_filter,
+        "bbox_slice": q_bbox_slice,
+        "text_stats": q_text_stats,
+        "lang_rollup": q_lang_rollup,
+        "edge_dedup": q_edge_dedup,
+        "bounds": q_bounds,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    geo = _geo_sql
+    pages_only = lambda sel: D.with_clause(D.pages_sql()) + "\n" + sel  # noqa: E731
+    _ = geo
+    return {
+        "cell_topk": pages_only(
+            "SELECT cell_id, count(*) AS n_pages FROM pages GROUP BY cell_id "
+            "ORDER BY n_pages DESC, cell_id LIMIT 20"
+        ),
+        "cell_rollup": pages_only(
+            "SELECT (CAST(10 AS BIGINT) * 288230376151711744 + CAST(CAST(least(greatest(floor(((lon)/360.0 + 0.5) * 1024.0), 0), 1023) AS INTEGER) AS BIGINT) * 536870912 + CAST(CAST(least(greatest(floor((0.5 - (ln((tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) + sqrt((tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066))))*(tan(radians(least(greatest(lat, -85.0511287798066), 85.0511287798066)))) + 1.0)))/6.283185307179586) * 1024.0), 0), 1023) AS INTEGER) AS BIGINT)) AS coarse_cell, "
+            "count(*) AS n_pages FROM pages GROUP BY 1"
+        ),
+        "anti_join_resume": D.with_clause(D.points_sql())
+        + """
+SELECT point_id, road_id FROM points
+WHERE point_id NOT IN (SELECT point_id FROM points WHERE point_id % 3 = 0)""",
+        "union_dedup": pages_only(
+            """
+SELECT id, shard, round(v, 6) AS v FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY shard) AS rn FROM (
+    SELECT doc_id AS id, 1 AS shard, gvi0 AS v FROM pages WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id AS id, 2 AS shard, gvi0 + 1.0 AS v FROM pages WHERE doc_id % 3 = 0
+  )
+) WHERE rn = 1"""
+        ),
+        "validity_filter": pages_only(
+            """
+SELECT doc_id, s FROM (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+              ELSE CAST(doc_id AS VARCHAR) END AS s
+  FROM pages
+) WHERE TRY_CAST(s AS DOUBLE) IS NOT NULL"""
+        ),
+        "bbox_slice": pages_only(
+            """
+SELECT doc_id, lang, round(x, 6) AS x, round(y, 6) AS y FROM pages
+WHERE x BETWEEN 1000.0 AND 4000.0 AND y BETWEEN 2000.0 AND 8000.0
+  AND doc_id >= 100 AND doc_id < 2000"""
+        ),
+        "text_stats": (
+            "SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "round((length(text) - (len(string_split(text, ' ')) - 1)) / "
+            "CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len "
+            "FROM documents"
+        ),
+        "lang_rollup": (
+            "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars "
+            "FROM documents GROUP BY lang"
+        ),
+        "edge_dedup": """
+WITH edges AS (
+  SELECT DISTINCT l_orderkey % 100 AS u, l_partkey % 97 AS v FROM lineitem)
+SELECT u, v FROM (
+  SELECT u, v,
+         row_number() OVER (PARTITION BY least(u, v), greatest(u, v) ORDER BY u, v) AS rn
+  FROM edges
+) WHERE rn = 1""",
+        "bounds": D.with_clause(D.pages_sql())
+        + """
+SELECT round(min(x), 6) AS min_x, round(min(y), 6) AS min_y,
+       round(max(x), 6) AS max_x, round(max(y), 6) AS max_y
+FROM pages""",
     }
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tile_assign": q_tile_assign,
-        "cell_topk": q_cell_topk,
         "knn_snap": q_knn_snap,
         "tile_assign_hex": q_tile_assign_hex,
         "knn_snap_hex": q_knn_snap_hex,
@@ -1534,13 +2184,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highway_rollup": q_highway_rollup,
         "top5_highways": q_top5_highways,
         "pip_hexagon": q_pip_hexagon,
-        "cell_rollup": q_cell_rollup,
         "zonal_mean": q_zonal_mean,
         "zonal_histogram": q_zonal_histogram,
-        "anti_join_resume": q_anti_join_resume,
-        "union_dedup": q_union_dedup,
-        "validity_filter": q_validity_filter,
-        "bbox_slice": q_bbox_slice,
         "gap_fill_linreg": q_gap_fill_linreg,
         "gap_fill_metrics": q_gap_fill_metrics,
         "dedup_exact": q_dedup_exact,
@@ -1560,10 +2205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ivf_topk": q_ivf_topk,
         "cosine_near_dup": q_cosine_near_dup,
-        "text_stats": q_text_stats,
-        "lang_rollup": q_lang_rollup,
-        "edge_dedup": q_edge_dedup,
-        "bounds": q_bounds,
         "overlay_ratio": q_overlay_ratio,
         "gvi_score_docs": q_gvi_score_docs,
         "isochrone": q_isochrone,
@@ -1573,6 +2214,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
+        # -------- round-6 rotation: curation/selection family --------
+        "fix_text": q_fix_text_docs,
+        "repetition_signals": q_repetition_docs,
+        "paragraph_dedup": q_paragraph_docs,
+        "chunk_dedup": q_chunk_dedup_docs,
+        "token_budget": q_token_budget_docs,
+        "pack_assignments": q_pack_docs,
+        "dsir_score": q_dsir_docs,
+        "semantic_dedup": q_semdedup_docs,
+        "clf_score": q_clf_score_docs,
+        "url_dedup": q_url_dedup_docs,
     }
 
 

@@ -770,6 +770,7 @@ def chunk_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     chunk_chars: int = 100,
+    offset: int = 0,
 ) -> DataFrame:
     """Corpus-level exact SUBSTRING dedup, bounded to non-overlapping
     ``chunk_chars``-character windows (the RETRO-chunk approximation of
@@ -799,6 +800,9 @@ def chunk_dedup(
     L = int(chunk_chars)
     if L < 1:
         raise ValueError("chunk_chars must be >= 1")
+    O = int(offset)
+    if O < 0 or O >= L:
+        raise ValueError("offset must be in [0, chunk_chars)")
     # the packed (id, pos) canonical key needs an integral id: a string
     # id would implicitly cast to double -> NULL, making _canon NULL and
     # the != filter drop every kill (silent no-op). Fail fast instead.
@@ -812,14 +816,22 @@ def chunk_dedup(
             f"chunk_dedup needs an integral {id_col!r} (fits 32 bits) "
             f"for its packed (id, pos) canonical key; got {id_type}"
         )
-    n_full = F.floor(F.length(text_col) / F.lit(L))
+    # grid phase: chunk i covers [O + i*L, O + (i+1)*L); the first O
+    # chars are protected like the tail (offset != 0 is the SHIFTED
+    # second pass of chunk_dedup_shifted — see the recall-boundary
+    # table in BENCH/BASELINE.md). greatest(0): a doc shorter than the
+    # offset has zero chunks, not floor(negative).
+    n_full = F.greatest(
+        F.floor((F.length(text_col) - F.lit(O)) / F.lit(L)),
+        F.lit(0).cast("long"),
+    )
 
     def _chunks():
         idx = F.sequence(F.lit(0).cast("long"), n_full - 1)
         mk = F.transform(
             idx,
             lambda i: F.col(text_col).substr(
-                (i * F.lit(L) + 1).cast("int"), F.lit(L)
+                (i * F.lit(L) + F.lit(O) + 1).cast("int"), F.lit(L)
             ),
         )
         # sequence(0, stop) DESCENDS when stop < 0 — guard short docs
@@ -851,8 +863,9 @@ def chunk_dedup(
         .groupBy("id")
         .agg(F.collect_set("pos").alias("_kill"))
     )
+    head = F.col(text_col).substr(F.lit(1), F.lit(O))
     tail = F.col(text_col).substr(
-        (n_full * F.lit(L) + 1).cast("int"), F.length(text_col)
+        (n_full * F.lit(L) + F.lit(O) + 1).cast("int"), F.length(text_col)
     )
     kept_arr = F.filter(
         _chunks(),
@@ -864,11 +877,178 @@ def chunk_dedup(
         kills, F.col(id_col) == F.col("id"), "left"
     ).select(
         F.col(id_col),
-        F.concat(F.array_join(kept_arr, ""), tail).alias("text_deduped"),
+        F.concat(head, F.array_join(kept_arr, ""), tail).alias(
+            "text_deduped"
+        ),
         F.coalesce(n_full, F.lit(0)).cast("long").alias("n_chunks"),
         F.coalesce(F.size("_kill"), F.lit(0)).cast("long").alias("n_removed"),
     )
     return out
+
+
+def chunk_dedup_shifted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_chars: int = 100,
+) -> DataFrame:
+    """Two-phase chunk dedup: the standard aligned pass, then a second
+    pass over the REBUILT text on a grid shifted by ``chunk_chars/2``.
+
+    Recall boundary, quantified (BENCH/BASELINE.md, "chunk_dedup
+    grid-alignment recall"): a duplicated passage is only caught when
+    its two instances share the same grid PHASE (start offset mod L).
+    One pass covers 1 of L phase differences; the shifted pass adds a
+    second, doubling phase coverage to 2/L — full phase coverage is
+    the suffix-array method (Lee et al.) the non-overlapping grid
+    deliberately approximates. Unaligned near-duplicate DOCUMENTS are
+    instead caught at doc granularity by the MinHash/paragraph layers
+    (measured recall 1.0 on the planted fixture). Cost: one more full
+    scan + digest shuffle.
+
+    -> (id_col, text_deduped, n_chunks, n_removed) with n_chunks /
+    n_removed SUMMED over both passes."""
+    first = chunk_dedup(df, text_col, id_col, chunk_chars)
+    second = chunk_dedup(
+        first.select(
+            F.col(id_col), F.col("text_deduped").alias(text_col)
+        ),
+        text_col,
+        id_col,
+        chunk_chars,
+        offset=chunk_chars // 2,
+    )
+    return (
+        first.select(
+            F.col(id_col).alias("_id1"),
+            F.col("n_chunks").alias("_nc1"),
+            F.col("n_removed").alias("_nr1"),
+        )
+        .join(second, F.col("_id1") == F.col(id_col), "inner")
+        .select(
+            F.col(id_col),
+            "text_deduped",
+            (F.col("_nc1") + F.col("n_chunks")).alias("n_chunks"),
+            (F.col("_nr1") + F.col("n_removed")).alias("n_removed"),
+        )
+    )
+
+
+def chunk_dedup_cdc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    avg_tokens: int = 8,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Content-defined-chunking substring dedup — the ALIGNMENT-FREE
+    variant of ``chunk_dedup`` (the rsync/storage-dedup CDC trick
+    applied at token level): a chunk boundary falls AFTER every token
+    whose portable hash lands in bucket 0 of ``avg_tokens`` buckets,
+    so boundaries derive from CONTENT, not position — two instances of
+    the same passage produce identical interior chunks no matter where
+    in their documents they sit. This closes the grid method's phase
+    boundary (a fixed grid only matches repeats whose start offsets
+    agree mod L — and shifting the grid shifts BOTH instances, so a
+    shifted second pass cannot change relative phase; measured in
+    BENCH/BASELINE.md "chunk_dedup grid-alignment recall").
+
+    Semantics: chunks shorter than ``min_tokens`` tokens never dedup
+    (guards against killing ubiquitous single-token chunks); among the
+    instances of a >=2-occurrence eligible chunk the packed-min
+    (id, pos) canonical survives; rebuild joins kept chunks with a
+    single space (texts are single-space tokenized — multi-space runs
+    are not preserved, same normalization the token ops assume). NULL
+    text stays NULL.
+
+    Physical shape: identical to chunk_dedup — per-row codegen HOFs
+    build the chunk array, ONE groupBy on the chunk md5 digest, join
+    back, per-row rebuild. Average chunk = ``avg_tokens`` tokens;
+    worst doc cost is linear in its tokens."""
+    D = int(avg_tokens)
+    if D < 2:
+        raise ValueError("avg_tokens must be >= 2")
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"chunk_dedup_cdc needs an integral {id_col!r}; got {id_type}"
+        )
+
+    tk = F.split(F.col(text_col), " ")
+
+    def _is_cut(t):
+        return (
+            F.pmod(
+                F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+                F.lit(D),
+            )
+            == 0
+        )
+
+    def _chunks():
+        n = F.size(tk)
+        cuts = F.filter(
+            F.sequence(F.lit(1), n), lambda i: _is_cut(F.element_at(tk, i))
+        )
+        starts = F.concat(
+            F.array(F.lit(1)), F.transform(cuts, lambda c: c + 1)
+        )
+        ends = F.concat(cuts, F.array(n))
+        raw = F.zip_with(
+            starts,
+            ends,
+            lambda s, e: F.when(
+                e >= s, F.concat_ws(" ", F.slice(tk, s, e - s + 1))
+            ),
+        )
+        return F.filter(raw, lambda c: c.isNotNull())
+
+    chunks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_chunks()).alias("pos", "chunk"),
+    ).select(
+        "id",
+        "pos",
+        F.md5("chunk").alias("ck"),
+        (F.size(F.split(F.col("chunk"), " ")) >= min_tokens).alias("elig"),
+    )
+    dup = (
+        chunks.where(F.col("elig"))
+        .groupBy("ck")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.col("id") * F.lit(_CHUNK_PACK) + F.col("pos")).alias(
+                "_canon"
+            ),
+        )
+        .where(F.col("_n") > 1)
+        .select("ck", "_canon")
+    )
+    kills = (
+        chunks.where(F.col("elig"))
+        .join(dup, "ck", "inner")
+        .where(
+            F.col("id") * F.lit(_CHUNK_PACK) + F.col("pos") != F.col("_canon")
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_kill"))
+    )
+    kept_arr = F.filter(
+        _chunks(),
+        lambda c, i: ~F.array_contains(
+            F.coalesce(F.col("_kill"), F.array().cast("array<int>")), i
+        ),
+    )
+    return df.join(kills, F.col(id_col) == F.col("id"), "left").select(
+        F.col(id_col),
+        F.array_join(kept_arr, " ").alias("text_deduped"),
+        F.coalesce(F.size(_chunks()), F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.size("_kill"), F.lit(0)).cast("long").alias("n_removed"),
+    )
 
 
 # ------------------------------------------------------------------

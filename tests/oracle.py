@@ -576,25 +576,28 @@ def duckdb_token_budget_select(
 
 
 def duckdb_chunk_dedup(
-    docs: pd.DataFrame, chunk_chars: int = 100
+    docs: pd.DataFrame, chunk_chars: int = 100, offset: int = 0
 ) -> pd.DataFrame:
     """ANSI-SQL twin of operators/textops.chunk_dedup: non-overlapping
-    L-char windows, md5-grouped; every instance of a >1-occurrence
-    chunk except the packed-min (doc_id, pos) canonical is cut; the
-    trailing len%L chars always survive."""
+    L-char windows starting at ``offset``, md5-grouped; every instance
+    of a >1-occurrence chunk except the packed-min (doc_id, pos)
+    canonical is cut; the first ``offset`` and trailing chars always
+    survive."""
     import duckdb
 
     L = int(chunk_chars)
+    O = int(offset)
     con = duckdb.connect()
     con.register("docs", docs)
     out = con.sql(
         f"""
         WITH d AS (
-          SELECT doc_id, text, strlen(text) // {L} AS nf FROM docs),
+          SELECT doc_id, text,
+                 greatest((strlen(text) - {O}) // {L}, 0) AS nf FROM docs),
         ch AS (
           SELECT doc_id, i AS pos,
-                 substring(text, CAST(i * {L} + 1 AS INT), {L}) AS chunk,
-                 md5(substring(text, CAST(i * {L} + 1 AS INT), {L})) AS ck
+                 substring(text, CAST(i * {L} + {O} + 1 AS INT), {L}) AS chunk,
+                 md5(substring(text, CAST(i * {L} + {O} + 1 AS INT), {L})) AS ck
           FROM d, UNNEST(generate_series(0, CAST(nf AS BIGINT) - 1)) AS t(i)),
         dup AS (
           SELECT ck, min(doc_id * 2147483648 + pos) AS canon
@@ -611,12 +614,73 @@ def duckdb_chunk_dedup(
           WHERE kill.pos IS NULL
           GROUP BY ch.doc_id)
         SELECT d.doc_id,
-               coalesce(kept.body, '') ||
-                 substring(d.text, CAST(d.nf * {L} + 1 AS INT)) AS text_deduped,
+               substring(d.text, 1, {O}) || coalesce(kept.body, '') ||
+                 substring(d.text, CAST(d.nf * {L} + {O} + 1 AS INT)) AS text_deduped,
                coalesce(d.nf, 0) AS n_chunks,
                coalesce(d.nf, 0) - coalesce(kept.n_kept, 0) AS n_removed
         FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
         ORDER BY d.doc_id
+        """
+    ).df()
+    con.close()
+    return out
+
+
+def duckdb_chunk_dedup_cdc(
+    docs: pd.DataFrame, avg_tokens: int = 8, min_tokens: int = 4
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.chunk_dedup_cdc: content-
+    defined token chunks (boundary after every token whose md5-prefix
+    hash % avg_tokens == 0), eligible chunks (>= min_tokens tokens)
+    md5-grouped, packed-min canonical survives, space-joined rebuild."""
+    import duckdb
+
+    D = int(avg_tokens)
+    MINT = int(min_tokens)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    s_j = "(CASE WHEN j = 1 THEN 1 ELSE cuts[j-1] + 1 END)"
+    e_j = "(CASE WHEN j = len(cuts) + 1 THEN len(t) ELSE cuts[j] END)"
+    out = con.sql(
+        f"""
+        WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs
+                   WHERE text IS NOT NULL),
+        b AS (SELECT doc_id, t,
+                [i FOR i IN generate_series(1, len(t))
+                   IF CAST('0x' || substring(md5(t[i]), 1, 15) AS BIGINT)
+                      % {D} = 0] AS cuts
+              FROM d),
+        cl AS (SELECT doc_id,
+                 list_filter(
+                   list_transform(generate_series(1, len(cuts) + 1),
+                     j -> CASE WHEN {e_j} >= {s_j}
+                          THEN array_to_string(t[{s_j}:{e_j}], ' ') END),
+                   x -> x IS NOT NULL) AS chunks
+               FROM b),
+        ch AS (SELECT doc_id, i - 1 AS pos, chunks[i] AS chunk,
+                      md5(chunks[i]) AS ck,
+                      len(string_split(chunks[i], ' ')) >= {MINT} AS elig
+               FROM cl, UNNEST(generate_series(1, len(chunks))) AS u(i)),
+        dup AS (SELECT ck, min(doc_id * 2147483648 + pos) AS canon
+                FROM ch WHERE elig GROUP BY ck HAVING count(*) > 1),
+        kill AS (SELECT doc_id, pos FROM ch JOIN dup USING (ck)
+                 WHERE elig AND doc_id * 2147483648 + pos != canon),
+        kept AS (SELECT ch.doc_id,
+                        string_agg(chunk, ' ' ORDER BY ch.pos) AS body,
+                        count(*) AS n_kept
+                 FROM ch LEFT JOIN kill
+                   ON ch.doc_id = kill.doc_id AND ch.pos = kill.pos
+                 WHERE kill.pos IS NULL GROUP BY ch.doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id)
+        SELECT d0.doc_id,
+               CASE WHEN d0.text IS NULL THEN NULL
+                    ELSE coalesce(kept.body, '') END AS text_deduped,
+               coalesce(tot.n_chunks, 0) AS n_chunks,
+               coalesce(tot.n_chunks, 0) - coalesce(kept.n_kept, 0) AS n_removed
+        FROM docs d0
+        LEFT JOIN kept ON d0.doc_id = kept.doc_id
+        LEFT JOIN tot ON d0.doc_id = tot.doc_id
+        ORDER BY d0.doc_id
         """
     ).df()
     con.close()

@@ -553,3 +553,147 @@ class TestUrlCuration:
         assert roll["shop.co.uk"].n_pages == 3
         assert roll["localhost"].n_pages == 1
         assert roll[None].n_pages == 4  # NULL url + 3 malformed
+
+
+# ------------------------------------------------------------------
+# chunk_dedup grid-alignment recall boundary (round 6): offset grids,
+# the shifted second pass, and the content-defined (CDC) variant
+# ------------------------------------------------------------------
+from streetview_naturevisibility_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+)
+from streetview_naturevisibility_spark.operators.textops import (  # noqa: E402
+    chunk_dedup_cdc,
+    chunk_dedup_shifted,
+)
+from tests.oracle import duckdb_chunk_dedup_cdc  # noqa: E402
+
+_CA_L = 32
+# 60 DISTINCT tokens (no internal repetition — within-doc chunk
+# matches would pollute the cross-doc phase measurement)
+_CA_PASSAGE = " ".join(f"passagetok{w:03d}" for w in range(60))
+
+
+def _alignment_corpus(n: int = 36):
+    """Doc i = unique prefix (i % L padding chars) + the shared
+    passage + unique suffix: passage start phases cover every residue
+    mod L roughly uniformly; docs 32..35 repeat phases 0..3."""
+    rows = []
+    for i in range(n):
+        prefix = f"d{i:02d}" + "x" * (i % _CA_L)  # phase = (4 + i) % L
+        suffix = f"tail{i:02d} end{i:02d} close{i:02d}"
+        rows.append((i, f"{prefix} {_CA_PASSAGE} {suffix}"))
+    return rows
+
+
+class TestChunkAlignment:
+    def test_offset_grid_matches_duckdb_twin(self, spark):
+        rows = _alignment_corpus(12)
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = (
+            chunk_dedup(docs, chunk_chars=_CA_L, offset=_CA_L // 2)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_chunk_dedup(
+            pd.DataFrame(rows, columns=["doc_id", "text"]),
+            chunk_chars=_CA_L,
+            offset=_CA_L // 2,
+        )
+        assert list(got["text_deduped"]) == list(want["text_deduped"])
+        assert list(got["n_removed"]) == list(want["n_removed"])
+
+    def test_shifted_pass_cannot_change_relative_phase(self, spark):
+        """THE measured boundary: a globally shifted grid moves both
+        instances of a repeat by the same amount, so their relative
+        phase is invariant — the shifted second pass removes ZERO
+        additional chars on phase-mismatched plants. (The round-5
+        hypothesis that a shifted pass recovers unaligned repeats is
+        refuted by construction; the alignment-free path is CDC.)"""
+        rows = _alignment_corpus(32)  # 32 docs, 32 DISTINCT phases
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        grid = {
+            r.doc_id: r for r in chunk_dedup(docs, chunk_chars=_CA_L).collect()
+        }
+        shifted = {
+            r.doc_id: r
+            for r in chunk_dedup_shifted(docs, chunk_chars=_CA_L).collect()
+        }
+        # all phases distinct -> no two instances agree mod L -> no
+        # pass can match ANY passage chunk; both leave texts intact
+        for i, text in rows:
+            assert grid[i].text_deduped == text, i
+            assert shifted[i].text_deduped == text, i
+            assert shifted[i].n_removed == 0
+
+    def test_grid_catches_equal_phase_only(self, spark):
+        rows = _alignment_corpus(36)  # 32..35 share phases with 0..3
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        out = {
+            r.doc_id: r for r in chunk_dedup(docs, chunk_chars=_CA_L).collect()
+        }
+        for i in range(32):
+            assert out[i].n_removed == 0, i  # canonical phase instance
+        for i in range(32, 36):
+            # same phase as doc i-32 -> the passage's interior aligned
+            # chunks die; edges (partial chunks) survive
+            assert out[i].n_removed >= len(_CA_PASSAGE) // _CA_L - 2, i
+
+    def test_cdc_matches_duckdb_twin_and_is_alignment_free(self, spark):
+        rows = _alignment_corpus(12) + [(99, None)]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        got = (
+            chunk_dedup_cdc(docs)
+            .toPandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = duckdb_chunk_dedup_cdc(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+        assert list(got["text_deduped"].fillna("~")) == list(
+            want["text_deduped"].fillna("~")
+        )
+        assert list(got["n_removed"]) == list(want["n_removed"])
+        assert list(got["n_chunks"]) == list(want["n_chunks"])
+        # alignment-free recall: every non-canonical instance loses
+        # most of the passage (interior CDC chunks), despite every doc
+        # having a DIFFERENT char phase
+        by_id = {
+            int(r.doc_id): r for _, r in got.iterrows() if r.doc_id != 99
+        }
+        n_killed_docs = sum(1 for r in by_id.values() if r.n_removed > 0)
+        assert n_killed_docs >= 11  # all but the canonical instance
+        removed_chars = sum(
+            len(t) - len(by_id[i].text_deduped)
+            for i, t in _alignment_corpus(12)
+        )
+        # >= 60% of the duplicated passage budget recovered
+        assert removed_chars >= 0.6 * 11 * len(_CA_PASSAGE)
+
+    def test_cdc_no_dups_is_identity(self, spark):
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "one two three four five six seven eight nine"),
+            (2, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        out = {r.doc_id: r for r in chunk_dedup_cdc(docs).collect()}
+        for i, t in rows:
+            assert out[i].text_deduped == t
+            assert out[i].n_removed == 0
+
+    def test_minhash_layer_catches_the_docs_grid_misses(self, spark):
+        """Doc-granularity recall of the MinHash layer on the same
+        phase-mismatched corpus: every doc pair shares the 60-token
+        passage (Jaccard ~0.75) and must surface as a near-dup pair."""
+        rows = _alignment_corpus(12)
+        docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+        pairs = minhash_lsh_pairs(
+            docs, k=32, bands=8, jaccard_threshold=0.5, hash_method="md5"
+        )
+        found = {(r.id_a, r.id_b) for r in pairs.collect()}
+        expected = {(a, b) for a in range(12) for b in range(a + 1, 12)}
+        missing = expected - found
+        assert len(missing) <= 2, f"minhash missed {missing}"
