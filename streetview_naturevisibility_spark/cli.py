@@ -320,10 +320,28 @@ def cmd_curate(args: argparse.Namespace) -> None:
             f"{args.chunk_dedup}-char chunk instances"
         )
 
+    if getattr(args, "chunk_dedup_cdc", None):
+        # alignment-free substring dedup: content-defined token chunks
+        # (boundaries from the token hash, so repeats match at ANY
+        # position — see BENCH/BASELINE.md "grid-alignment recall")
+        from .operators.textops import chunk_dedup_cdc
+
+        cdc_out = chunk_dedup_cdc(docs, avg_tokens=args.chunk_dedup_cdc)
+        n_cdc_removed = cdc_out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        docs = docs.drop("text").join(
+            cdc_out.select("doc_id", F.col("text_deduped").alias("text")),
+            "doc_id",
+        )
+        print(
+            f"[chunk-cdc] removed={n_cdc_removed} duplicated "
+            f"content-defined chunk instances (~{args.chunk_dedup_cdc} tokens)"
+        )
+
     if (
         getattr(args, "fix_text", False)
         or getattr(args, "para_dedup", False)
         or getattr(args, "chunk_dedup", None)
+        or getattr(args, "chunk_dedup_cdc", None)
     ):
         # cut the text-rewrite lineage before the scoring stages: every
         # downstream stage otherwise replans the full fix/para/chunk
@@ -646,6 +664,16 @@ def main() -> None:
         "repeated non-overlapping L-char chunk is cut from all but "
         "its globally-first occurrence (RETRO-chunk approximation of "
         "suffix-array dedup)",
+    )
+    pc.add_argument(
+        "--chunk-dedup-cdc",
+        type=int,
+        default=None,
+        metavar="AVG_TOKENS",
+        help="alignment-free substring dedup before scoring: content-"
+        "defined token chunks (boundary after tokens hashing to bucket "
+        "0 of AVG_TOKENS) so repeated passages match at any position; "
+        "composes with --chunk-dedup (grid pass runs first)",
     )
     pc.add_argument(
         "--token-budget",

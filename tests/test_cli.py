@@ -333,6 +333,50 @@ class TestCurate:
         got = {r.doc_id: r.text for r in cur.collect()}
         assert sum(1 for t in got.values() if t.startswith(shared)) == 1
 
+    def test_chunk_dedup_cdc_stage(self, spark, tmp_path, capsys):
+        """--chunk-dedup-cdc cuts a repeated passage planted at a
+        DIFFERENT token offset in every doc — the case the aligned
+        grid provably misses (BENCH/BASELINE.md recall table)."""
+        import pandas as pd
+
+        passage = " ".join(f"sharedtok{j:02d}" for j in range(24))
+        rows = []
+        for i in range(6):
+            prefix = " ".join(f"pre{i}x{j}" for j in range(i + 1))
+            suffix = f"suf{i}a suf{i}b"
+            rows.append((i, f"{prefix} {passage} {suffix}"))
+        docs = str(tmp_path / "docs.parquet")
+        pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["t"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        ).to_parquet(docs, index=False)
+        out = str(tmp_path / "cur")
+        args = _ns(
+            docs=docs,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.99,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            chunk_dedup_cdc=8,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[chunk-cdc] removed=" in text
+        cur = spark.read.parquet(os.path.join(out, "curated"))
+        got = {r.doc_id: r.text for r in cur.collect()}
+        # the passage survives in exactly one doc's full form; the
+        # other five lost their interior content-defined chunks
+        n_full = sum(1 for t in got.values() if passage in t)
+        assert n_full == 1, got
+        assert all(f"suf{i}a" in got[i] for i in range(6))  # edges kept
+
     def test_dsir_stage_keeps_target_like_docs(self, spark, tmp_path, capsys):
         """--dsir-target/--dsir-keep: after dedup, the kept docs are the
         most target-like by hashed-n-gram importance weight — the
