@@ -309,7 +309,11 @@ def main() -> None:
         1000
     ).write.format("noop").mode("overwrite").save()
 
-    qs = entrymod.queries()
+    # headline legs draw from the live contract registry PLUS the
+    # retired round-1 rows (the r6 rotation moved e.g. text_stats to
+    # retired_queries(); the bench leg must keep timing it so the
+    # round-over-round series stays comparable)
+    qs = dict(entrymod.retired_queries(), **entrymod.queries())
     headline = [
         "tile_assign",
         "knn_snap",
