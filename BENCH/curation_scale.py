@@ -183,6 +183,93 @@ def main() -> None:
             "tokens_kept": int(r.tok),
         }
 
+    # --- round-6 additions: C4 cleaning, BPE counting, Bloom anti-join
+
+    # C4 at 1M docs: synthetic docs have no terminal punctuation, so
+    # plant it — every 3rd line of every doc gains a period, docs with
+    # doc_id % 20 == 3 gain 'lorem ipsum' (50k planted page kills).
+    c4_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace(F.col("text"), " spark ", ". spark "),
+            F.lit(". End sentence one. Two more here. Three now. "
+                  "Four follow. Five close."),
+            F.when(F.col("doc_id") % 20 == 3, F.lit(" lorem ipsum")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    from streetview_naturevisibility_spark.operators.textops import c4_clean
+
+    t0 = time.perf_counter()
+    cc = c4_clean(c4_docs)
+    r = cc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("n_lines_kept").alias("lines"),
+    ).collect()[0]
+    results["c4_clean"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows": r.n,
+        "kept": int(r.kept),
+        "planted_lorem_kills": n - int(r.kept) >= n // 20,
+    }
+    assert int(r.kept) <= n - n // 20, "planted lorem-ipsum docs survived c4"
+
+    # BPE: train once on a 10k-doc sample (driver-side, bounded), then
+    # count subwords over the full 1M — the map-only hot path.
+    from streetview_naturevisibility_spark.operators.tokenize import (
+        bpe_token_count,
+        train_bpe_from_corpus,
+    )
+
+    t0 = time.perf_counter()
+    merges = train_bpe_from_corpus(docs, n_merges=200, sample_docs=10_000)
+    train_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = (
+        bpe_token_count(docs, merges)
+        .agg(F.sum("n_tokens_bpe").alias("t"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    results["bpe_count_1m"] = {
+        "train_wall_s": round(train_s, 2),
+        "count_wall_s": round(time.perf_counter() - t0, 2),
+        "n_merges": len(merges),
+        "rows": r.n,
+        "subwords": int(r.t),
+    }
+
+    # Bloom anti-join vs plain anti-join at 1M x 1M digests: the done
+    # set is half the corpus (every even doc's digest) -> exactly the
+    # odd docs must survive BOTH paths; the Bloom path shuffles only
+    # members + ~fpp of the misses into the residual join.
+    from streetview_naturevisibility_spark.operators.bloom import (
+        bloom_anti_join,
+        build_bloom,
+    )
+
+    keyed = docs.select(
+        "doc_id", F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))).alias("d")
+    )
+    done = keyed.where(F.col("doc_id") % 2 == 0).select("d")
+    t0 = time.perf_counter()
+    bloom = build_bloom(done, "d", capacity=n // 2, fpp=0.01)
+    build_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    nb = bloom_anti_join(keyed, done, "d", bloom).count()
+    bloom_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np_ = keyed.join(done, "d", "left_anti").count()
+    plain_s = time.perf_counter() - t0
+    assert nb == np_ == n - n // 2, (nb, np_)
+    results["bloom_anti_join_1m"] = {
+        "build_wall_s": round(build_s, 2),
+        "bloom_join_wall_s": round(bloom_s, 2),
+        "plain_join_wall_s": round(plain_s, 2),
+        "survivors": nb,
+    }
+
     print(json.dumps({"n_docs": n, "cpus": cpus, "legs": results}))
 
 

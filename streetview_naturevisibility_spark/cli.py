@@ -275,6 +275,34 @@ def cmd_curate(args: argparse.Namespace) -> None:
         )
         print(f"[fix] repaired={n_fixed} docs (mojibake/spaces/control chars)")
 
+    if getattr(args, "c4", False):
+        # C4 line/page heuristics (Raffel et al. 2020 §2.2) directly
+        # after encoding repair: later stages (shingles, LM, dedup
+        # digests) judge the line-cleaned text
+        from .operators.textops import c4_clean
+
+        cc = c4_clean(
+            docs,
+            min_words_per_line=getattr(args, "c4_min_words", 3),
+            min_sentences=getattr(args, "c4_min_sentences", 5),
+        )
+        st = cc.agg(
+            F.sum(F.col("keep").cast("long")).alias("kept"),
+            F.sum("n_lines").alias("nl"),
+            F.sum("n_lines_kept").alias("nk"),
+        ).collect()[0]
+        docs = docs.drop("text").join(
+            cc.where("keep").select(
+                "doc_id", F.col("text_clean").alias("text")
+            ),
+            "doc_id",
+        )
+        print(
+            f"[c4] kept={int(st.kept or 0)} of {n_in} pages; "
+            f"lines {int(st.nl or 0)} -> {int(st.nk or 0)}"
+        )
+        n_in = int(st.kept or 0)
+
     if getattr(args, "blocklist", None):
         from .operators.textops import decontaminate
 
@@ -339,6 +367,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
 
     if (
         getattr(args, "fix_text", False)
+        or getattr(args, "c4", False)
         or getattr(args, "para_dedup", False)
         or getattr(args, "chunk_dedup", None)
         or getattr(args, "chunk_dedup_cdc", None)
@@ -519,6 +548,25 @@ def cmd_curate(args: argparse.Namespace) -> None:
         out = stratified_sample(out, "lang_pred", rates, "doc_id",
                                 default_rate=args.default_rate)
 
+    tokens_col = "n_tokens" if "n_tokens" in out.columns else None
+    if getattr(args, "bpe_merges", None):
+        # real subword counts for the budget/pack stages: merges are
+        # learned ONCE from a bounded sample of the SELECTED pool,
+        # broadcast, applied Arrow-batched (operators/tokenize.py)
+        from .operators.tokenize import bpe_token_count, train_bpe_from_corpus
+
+        merges = train_bpe_from_corpus(
+            out,
+            n_merges=args.bpe_merges,
+            sample_docs=getattr(args, "bpe_sample", 10_000),
+        )
+        out = bpe_token_count(out, merges)
+        tokens_col = "n_tokens_bpe"
+        print(
+            f"[bpe] learned {len(merges)} merges; budget/pack count "
+            "subwords (n_tokens_bpe)"
+        )
+
     if getattr(args, "token_budget", None):
         # final mixing stage: fill each language's token budget with
         # its best remaining docs (bucketed two-phase — only the
@@ -535,11 +583,12 @@ def cmd_curate(args: argparse.Namespace) -> None:
             strata_col="lang_pred",
             quality_col="quality_score",
             # analyze_documents already counted tokens — reuse, don't
-            # re-split the text
-            tokens_col="n_tokens" if "n_tokens" in out.columns else None,
+            # re-split the text (or the BPE subword counts when asked)
+            tokens_col=tokens_col,
             default_budget=getattr(args, "budget_default", 0),
         )
-        tot = out.groupBy("lang_pred").agg(F.sum("n_tokens").alias("t"))
+        budget_col = tokens_col or "n_tokens"
+        tot = out.groupBy("lang_pred").agg(F.sum(budget_col).alias("t"))
         mix = {r.lang_pred: int(r.t) for r in tot.collect()}
         print(
             "[budget] tokens kept per lang: "
@@ -549,11 +598,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # final stage: materialize fixed-token-budget training rows
         from .operators.corpus import pack_rows
 
-        out = pack_rows(
-            out,
-            args.pack_tokens,
-            tokens_col="n_tokens" if "n_tokens" in out.columns else None,
-        )
+        out = pack_rows(out, args.pack_tokens, tokens_col=tokens_col)
         print(f"[pack] budget={args.pack_tokens} tokens/row")
 
     n_out = out.count()
@@ -638,6 +683,25 @@ def main() -> None:
         "n-gram with it are dropped before the funnel (decontamination)",
     )
     pc.add_argument("--decontam-n", type=int, default=13)
+    pc.add_argument(
+        "--c4",
+        action="store_true",
+        help="C4-style cleaning (Raffel et al. 2020): keep only "
+        "terminal-punctuated lines with >= --c4-min-words words and no "
+        "'javascript'; drop pages with 'lorem ipsum', curly brackets, "
+        "or fewer than --c4-min-sentences sentences after cleaning",
+    )
+    pc.add_argument("--c4-min-words", type=int, default=3)
+    pc.add_argument("--c4-min-sentences", type=int, default=5)
+    pc.add_argument(
+        "--bpe-merges",
+        type=int,
+        default=None,
+        help="learn this many BPE merges from a --bpe-sample doc sample "
+        "of the selected pool and make --token-budget/--pack-tokens "
+        "count real subwords instead of whitespace tokens",
+    )
+    pc.add_argument("--bpe-sample", type=int, default=10_000)
     pc.add_argument(
         "--lm-ref",
         default=None,

@@ -1,0 +1,158 @@
+"""Distributed Bloom filter for done-set membership (incremental
+exact dedup at 100 TB).
+
+Problem shape: the incremental funnel must anti-join each new batch
+against the digests of EVERYTHING already curated. A plain left-anti
+join shuffles the (huge, ever-growing) done set every batch. A Bloom
+filter built once over the done set turns that into a broadcast-probe
+map stage: bits are set from two JVM-side xxhash64 values via double
+hashing (Kirsch & Mitzenmacher 2006 — k derived positions from two
+hashes, the standard public construction), and only the ~fpp fraction
+of the batch that probes positive pays the exact residual join. No
+false negatives, so the combined result is EXACTLY the anti-join.
+
+Build shape: one map-only pass over the done set (per-partition
+bitmaps accumulated in numpy inside mapInPandas), a fan-in OR reduce
+keyed on ``partition_id % fanin`` (so the driver never collects more
+than ``fanin`` bitmaps regardless of partition count), final OR
+driver-side. The bitmap is then an sc.broadcast numpy array; probing
+is a vectorized Arrow-batched lookup, zero shuffle.
+
+Sizing: m = ceil(-n ln p / ln^2 2) bits, k = max(1, round(m/n ln 2)).
+1e9 done digests at fpp=0.01 is ~1.2 GB of bits — broadcastable; at
+1e10, shard by digest prefix and build one filter per shard (the build
+below is already keyed, callers split upstream).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_H2_SALT = 0x5BD1E995  # second-hash salt column (any fixed literal)
+
+
+def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
+    """-> (m_bits, k). m rounded up to a byte multiple."""
+    capacity = max(1, int(capacity))
+    m = int(math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 7) & ~7
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+def _hash_cols(col):
+    """Two independent 64-bit hashes, computed JVM-side (codegen)."""
+    return (
+        F.xxhash64(col).alias("_h1"),
+        F.xxhash64(col, F.lit(_H2_SALT)).alias("_h2"),
+    )
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing; int64 overflow wraps
+    (hash mixing, not arithmetic) and the final mod is non-negative."""
+    j = np.arange(k, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        pos = h1[:, None] + j[None, :] * h2[:, None]
+    return (pos % m + m) % m
+
+
+def build_bloom(
+    df: DataFrame,
+    col: str,
+    capacity: int,
+    fpp: float = 0.01,
+    fanin: int = 16,
+) -> dict:
+    """Build over df[col] (digests/keys; NULLs ignored). Returns
+    {"bits": np.uint8 array, "m": m_bits, "k": k} — pass to
+    ``bloom_probe_col``/``bloom_anti_join``."""
+    m, k = bloom_params(capacity, fpp)
+    hashed = df.where(F.col(col).isNotNull()).select(*_hash_cols(F.col(col)))
+
+    def partition_bitmap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        seen = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = _positions(
+                pdf["_h1"].to_numpy(np.int64),
+                pdf["_h2"].to_numpy(np.int64),
+                k,
+                m,
+            ).ravel()
+            np.bitwise_or.at(
+                bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+        if seen:
+            grp = TaskContext.get().partitionId() % fanin
+            yield pd.DataFrame({"grp": [grp], "bits": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(partition_bitmap, "grp int, bits binary")
+
+    def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(m // 8, dtype=np.uint8)
+        for b in pdf["bits"]:
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pd.DataFrame({"bits": [acc.tobytes()]})
+
+    merged = parts.groupBy("grp").applyInPandas(or_group, "bits binary")
+    final = np.zeros(m // 8, dtype=np.uint8)
+    for r in merged.collect():  # bounded: <= fanin rows
+        final |= np.frombuffer(r.bits, dtype=np.uint8)
+    return {"bits": final, "m": m, "k": k}
+
+
+def bloom_probe_col(df: DataFrame, col: str, bloom: dict) -> DataFrame:
+    """Append ``_maybe_member`` (bool). Broadcast bitmap, hashes
+    JVM-side, lookup an Arrow-batched vectorized numpy gather —
+    map-only."""
+    m, k = bloom["m"], bloom["k"]
+    bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
+
+    @F.pandas_udf("boolean")
+    def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = bc.value
+        if not len(h1):
+            return pd.Series([], dtype=bool)
+        pos = _positions(
+            h1.to_numpy(np.int64), h2.to_numpy(np.int64), k, m
+        )
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    c = F.col(col)
+    return df.withColumn(
+        "_maybe_member",
+        F.when(
+            c.isNotNull(),
+            probe(F.xxhash64(c), F.xxhash64(c, F.lit(_H2_SALT))),
+        ).otherwise(F.lit(False)),
+    )
+
+
+def bloom_anti_join(
+    batch: DataFrame, done: DataFrame, col: str, bloom: dict
+) -> DataFrame:
+    """EXACT ``batch LEFT ANTI JOIN done ON col`` where only the
+    Bloom-positive slice (true members + ~fpp false positives) enters
+    the real join — the certain-miss bulk of the batch never shuffles.
+    ``bloom`` must have been built over done[col] (no false negatives
+    => exactness)."""
+    probed = bloom_probe_col(batch, col, bloom)
+    certain_miss = probed.where(~F.col("_maybe_member")).drop("_maybe_member")
+    candidates = probed.where(F.col("_maybe_member")).drop("_maybe_member")
+    survivors = candidates.join(
+        done.select(F.col(col)).distinct(), on=col, how="left_anti"
+    )
+    return certain_miss.unionByName(survivors)

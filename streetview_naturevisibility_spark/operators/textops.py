@@ -1440,3 +1440,86 @@ def fix_text(
         fixed.alias("text_fixed"),
         (~fixed.eqNullSafe(F.col(text_col))).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style cleaning (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning with a Unified Text-to-Text Transformer", §2.2 —
+# public method). Line heuristics + page heuristics as ONE codegen
+# Project over the doc row: nothing leaves its input row, zero shuffle.
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords: list[str] | None = None,
+) -> DataFrame:
+    """C4 cleaning heuristics as a single zero-shuffle Project.
+
+    Line level (C4 §2.2, applied to ``\\n``-split, trimmed lines):
+      - keep only lines ending in a terminal punctuation mark
+        (``.``, ``!``, ``?`` or an end quotation mark ``"``/``\\u201d``);
+      - keep only lines with >= ``min_words_per_line`` whitespace words;
+      - drop any line containing the word "javascript"
+        (case-insensitive).
+    Page level (computed on the CLEANED text where C4's pipeline does):
+      - ``keep`` is false when the original page contains the phrase
+        "lorem ipsum" (case-insensitive), contains a curly bracket
+        (``{`` or ``}``), has fewer than ``min_sentences`` sentences
+        after line cleaning (sentence proxy: runs of ``[.!?]``), or —
+        when ``badwords`` is given — contains any listed word
+        case-insensitively between non-word boundaries (C4's bad-words
+        list is a parameter here, not vendored).
+
+    Returns (id, text_clean, n_lines, n_lines_kept, n_sentences, keep)
+    so callers can either ``filter("keep")`` or audit the funnel.
+    NULL text -> empty clean text, keep=false.
+
+    Physical shape: Scan -> Project, every heuristic a codegen
+    expression (split / filter / rlike / regexp_count); at 100 TB this
+    is a map-only stage pipelined into whatever follows. The
+    three-sentence-span dedup C4 pairs with these heuristics is the
+    engine's existing ``paragraph_dedup``/``chunk_dedup`` layer.
+    """
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
+
+    def _wc(l):
+        return F.when(l == "", F.lit(0)).otherwise(
+            F.size(F.split(l, "\\s+"))
+        )
+
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike('[.!?"”]$')
+        & (_wc(l) >= F.lit(int(min_words_per_line)))
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.regexp_count(clean, F.lit("[.!?]+"))
+    keep = (
+        ~F.lower(raw).contains("lorem ipsum")
+        & ~raw.contains("{")
+        & ~raw.contains("}")
+        & (n_sent >= F.lit(int(min_sentences)))
+    )
+    if badwords:
+        # non-capturing alternation between non-word context; escape
+        # regex metachars so the list is data, not pattern syntax
+        import re as _re
+
+        pat = "(?i)(^|\\W)(" + "|".join(
+            _re.escape(w) for w in sorted(badwords)
+        ) + ")($|\\W)"
+        keep = keep & ~raw.rlike(pat)
+    return df.select(
+        F.col(id_col),
+        clean.alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_lines_kept"),
+        n_sent.alias("n_sentences"),
+        keep.alias("keep"),
+    )

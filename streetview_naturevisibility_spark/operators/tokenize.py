@@ -1,0 +1,125 @@
+"""Distributed BPE tokenization.
+
+Spark-first shape: the merge table is learned ONCE driver-side from a
+BOUNDED sample's word-frequency table (the word counting itself is
+distributed — Arrow-batched pre-tokenization, one word shuffle), then
+broadcast to every executor; encoding is an Arrow-batched pandas UDF
+with a per-batch distinct-word memo, so the hot path is O(distinct
+words) merge loops per batch and ZERO shuffle — a map-only stage at
+any corpus size. Replaces the whitespace/regex token-count heuristics
+(`token_count_col`) wherever a real subword count is wanted (packing,
+token budgets).
+
+The reference has no tokenizer; the method is Sennrich et al. 2016
+(see functions/bpe.py). Training is deliberately sample-bounded: the
+published BPE regime learns merges from a corpus sample (the merge
+table is a model artifact, not a per-corpus aggregate), so the
+driver-side table is bounded by the sample's distinct-word count, not
+the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.bpe import encode_text, pretokenize, train_bpe
+
+
+def corpus_word_freqs(
+    docs: DataFrame, text_col: str = "text", sample_docs: int = 10_000
+) -> DataFrame:
+    """-> (word, freq) over a bounded doc sample. Pre-tokenization is
+    the Python kernel (same regex the encoder uses — Java's ``\\w`` is
+    ASCII-only, so a JVM regexp_extract_all twin would disagree on
+    unicode words); each Arrow batch emits its partial Counter, then
+    one word-keyed shuffle sums the partials (map-side combine on
+    batch-local counts)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        for pdf in it:
+            c: Counter[str] = Counter()
+            for t in pdf[text_col]:
+                if t is not None:
+                    c.update(pretokenize(t))
+            if c:
+                yield pd.DataFrame(
+                    {"word": list(c.keys()), "freq": list(c.values())}
+                )
+
+    sample = docs.select(text_col).where(F.col(text_col).isNotNull())
+    if sample_docs:
+        sample = sample.limit(int(sample_docs))
+    return (
+        sample.mapInPandas(batches, "word string, freq long")
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
+def train_bpe_from_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    sample_docs: int = 10_000,
+) -> list[tuple[str, str]]:
+    """Learn a merge list from a bounded corpus sample. The collect is
+    the (sample-bounded) word-frequency table — the standard BPE
+    training regime, not a corpus-wide driver pull."""
+    freqs = {
+        r.word: int(r.freq)
+        for r in corpus_word_freqs(docs, text_col, sample_docs).collect()
+    }
+    return train_bpe(freqs, n_merges)
+
+
+def _ranks_bc(spark: SparkSession, merges: list[tuple[str, str]]):
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    return spark.sparkContext.broadcast(ranks)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, tokens array<string>). Broadcast ranks, Arrow-batched
+    encode with a per-batch distinct-word memo; no shuffle."""
+    bc = _ranks_bc(df.sparkSession, merges)
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        ranks = bc.value
+        cache: dict[str, tuple[str, ...]] = {}
+        return texts.map(
+            lambda t: None if t is None else encode_text(t, ranks, cache)
+        )
+
+    return df.select(F.col(id_col), enc(F.col(text_col)).alias("tokens"))
+
+
+def bpe_token_count(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "n_tokens_bpe",
+) -> DataFrame:
+    """Append a real subword count (packing/budget input). Same kernel
+    as ``bpe_encode`` but only the length crosses Arrow back."""
+    bc = _ranks_bc(df.sparkSession, merges)
+
+    @F.pandas_udf("long")
+    def cnt(texts: pd.Series) -> pd.Series:
+        ranks = bc.value
+        cache: dict[str, tuple[str, ...]] = {}
+        return texts.map(
+            lambda t: 0 if t is None else len(encode_text(t, ranks, cache))
+        )
+
+    return df.withColumn(out_col, cnt(F.col(text_col)))

@@ -997,3 +997,60 @@ def duckdb_pack_assignments(
     ).df()
     con.close()
     return out
+
+
+def duckdb_c4_clean(
+    docs: pd.DataFrame,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    badwords=None,
+) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.c4_clean (Raffel et al. 2020
+    §2.2 heuristics), restated in DuckDB list/lambda SQL: line keep =
+    terminal punctuation AND >= min words AND no 'javascript'; page
+    keep = no 'lorem ipsum', no curly bracket, >= min_sentences
+    [.!?]-runs in the CLEANED text (and no badword when given)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs", docs)
+    bad = ""
+    if badwords:
+        import re as _re
+
+        alt = "|".join(_re.escape(w) for w in sorted(badwords))
+        bad = (
+            " AND NOT regexp_matches(raw, '(?i)(^|[^0-9A-Za-z_])"
+            f"({alt})($|[^0-9A-Za-z_])')"
+        )
+    out = con.sql(
+        f"""
+        WITH d AS (
+          SELECT doc_id, coalesce(text, '') AS raw,
+                 list_transform(string_split(coalesce(text, ''), chr(10)),
+                                l -> trim(l)) AS lines
+          FROM docs),
+        k AS (
+          SELECT doc_id, raw, lines,
+            list_filter(lines, l ->
+              regexp_matches(l, '[.!?"”]$')
+              AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+                                  x -> x <> '')) >= {int(min_words_per_line)}
+              AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM d),
+        c AS (
+          SELECT doc_id, raw, lines, kept,
+                 array_to_string(kept, chr(10)) AS text_clean
+          FROM k)
+        SELECT doc_id, text_clean,
+          len(lines) AS n_lines, len(kept) AS n_lines_kept,
+          len(regexp_extract_all(text_clean, '[.!?]+')) AS n_sentences,
+          (NOT contains(lower(raw), 'lorem ipsum')
+           AND NOT contains(raw, '{{') AND NOT contains(raw, '}}')
+           AND len(regexp_extract_all(text_clean, '[.!?]+'))
+               >= {int(min_sentences)}{bad}) AS keep
+        FROM c ORDER BY doc_id
+        """
+    ).df()
+    con.close()
+    return out

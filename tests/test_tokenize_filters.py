@@ -1,0 +1,362 @@
+"""C4-style cleaning, BPE tokenization, Bloom-filter anti-join —
+hand goldens, independent oracles, and DuckDB twins (standing in for
+driver contract rows; the contract is capped at 50 entries)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from streetview_naturevisibility_spark.functions.bpe import (
+    EOW,
+    encode_text,
+    encode_word,
+    pretokenize,
+    train_bpe,
+)
+from streetview_naturevisibility_spark.operators.bloom import (
+    bloom_anti_join,
+    bloom_params,
+    bloom_probe_col,
+    build_bloom,
+)
+from streetview_naturevisibility_spark.operators.textops import c4_clean
+from streetview_naturevisibility_spark.operators.tokenize import (
+    bpe_encode,
+    bpe_token_count,
+    train_bpe_from_corpus,
+)
+from tests.oracle import duckdb_c4_clean
+
+
+# ---------------------------------------------------------------- C4
+def _c4_corpus():
+    return [
+        (0, "This line is properly terminated.\nshort one\n"
+            "This line has no terminal punctuation at all\n"
+            "Another good sentence ends here!\nDoes this one count?\n"
+            'A quoted ending works too."\n'
+            "Final real sentence for the count.\nAnd one more here.\n"
+            "Yet another closing sentence."),
+        (1, "Enable javascript to view this page.\n"
+            "Please enable JAVASCRIPT now.\n"
+            "A perfectly fine sentence one.\nA perfectly fine sentence two.\n"
+            "A perfectly fine sentence three.\nA perfectly fine sentence four.\n"
+            "A perfectly fine sentence five."),
+        (2, "Lorem Ipsum dolor sit amet is filler.\nReal sentence here.\n"
+            "More real content follows this.\nEven more content here.\n"
+            "And the last of it now."),
+        (3, "function() { return 1; }\nGood sentence one here.\n"
+            "Good sentence two here.\nGood sentence three here.\n"
+            "Good sentence four here.\nGood sentence five here."),
+        (4, "Too few sentences to keep.\nJust this other one."),
+        (5, None),
+        (6, ""),
+        (7, "  Leading spaces trimmed before checks.  \n"
+            "word. word? word! word. word.\n"
+            "Multi   space   words   counted.\n"
+            "Tab\tseparated\twords\tcount.\n"
+            "Ends with ellipsis...\nFive words ending properly."),
+    ]
+
+
+def test_c4_clean_goldens_and_twin(spark):
+    df = spark.createDataFrame(_c4_corpus(), "doc_id: long, text: string")
+    got = c4_clean(df).orderBy("doc_id").toPandas()
+
+    by = {r.doc_id: r for r in got.itertuples()}
+    # doc 0: 'short one' (2 words) and unterminated line dropped
+    assert "short one" not in by[0].text_clean
+    assert "no terminal punctuation" not in by[0].text_clean
+    assert by[0].keep  # 6 kept sentence lines >= 5
+    # doc 1: both javascript lines dropped case-insensitively; the 5
+    # remaining real sentences keep the page
+    assert "javascript" not in by[1].text_clean.lower()
+    assert by[1].n_lines_kept == 5 and by[1].keep
+    # doc 2: lorem ipsum kills the page even though lines are fine
+    assert not by[2].keep
+    # doc 3: curly bracket kills the page
+    assert not by[3].keep
+    # doc 4: under min_sentences
+    assert not by[4].keep and by[4].n_sentences == 2
+    # NULL / empty -> empty clean, not kept
+    assert by[5].text_clean == "" and not by[5].keep
+    assert by[6].text_clean == "" and not by[6].keep
+    # doc 7: trimmed line kept; ellipsis line ends in '.', kept; the
+    # [.!?]+ run counts ONCE per run
+    assert "Leading spaces trimmed before checks." in by[7].text_clean
+    assert "Ends with ellipsis..." in by[7].text_clean
+
+    want = duckdb_c4_clean(
+        pd.DataFrame(_c4_corpus(), columns=["doc_id", "text"])
+    )
+    got2 = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for c in ("text_clean", "n_lines", "n_lines_kept", "n_sentences", "keep"):
+        assert list(got2[c]) == list(want[c]), c
+
+
+def test_c4_badwords_param(spark):
+    rows = [
+        (0, "Totally fine sentence one.\nFine sentence two here.\n"
+            "Fine sentence three here.\nFine sentence four here.\n"
+            "Fine sentence five here."),
+        (1, "Contains the banned word zorblat here.\nFine sentence two.\n"
+            "Fine sentence three here.\nFine sentence four here.\n"
+            "Fine sentence five here."),
+        (2, "zorblatish is a different word entirely.\nFine two here.\n"
+            "Fine sentence three here.\nFine sentence four here.\n"
+            "Fine sentence five here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = (
+        c4_clean(df, badwords=["zorblat"])
+        .orderBy("doc_id")
+        .select("doc_id", "keep")
+        .toPandas()
+    )
+    assert list(got.keep) == [True, False, True]
+    want = duckdb_c4_clean(
+        pd.DataFrame(rows, columns=["doc_id", "text"]), badwords=["zorblat"]
+    )
+    assert list(got.keep) == list(want.keep)
+
+
+def test_c4_plan_is_map_only(spark):
+    df = spark.createDataFrame(_c4_corpus(), "doc_id: long, text: string")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure codegen, no UDF
+
+
+# ---------------------------------------------------------------- BPE
+def test_bpe_train_paper_example():
+    # Sennrich et al.'s worked example: the first merges pick up the
+    # frequent 'es'/'est' suffix of newest/widest
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, 4)
+    assert merges[0] == ("e", "s")
+    assert merges[1] == ("es", "t" + EOW)
+    assert ("l", "o") in merges  # 'lo' (freq 7) follows
+
+
+def test_bpe_train_determinism_and_early_stop():
+    freqs = {"ab": 2, "ba": 2}  # ('a','b</w>') vs ('b','a</w>') ties
+    m1 = train_bpe(dict(freqs), 10)
+    m2 = train_bpe(dict(reversed(list(freqs.items()))), 10)
+    assert m1 == m2  # lexicographic tie-break, not dict order
+    # all-unique words: no pair reaches freq 2 -> no merges at all
+    assert train_bpe({"abc": 1, "xyz": 1}, 10) == []
+
+
+def _oracle_encode(word: str, merges) -> list:
+    """Independent encode: apply merges SEQUENTIALLY in training
+    order (subword-nmt's shape). Equivalent to the engine's greedy
+    lowest-rank-first loop because a merge only creates NEW symbols —
+    an earlier pair (two older symbols) can never newly become
+    adjacent from a later merge's output symbol."""
+    syms = list(word[:-1]) + [word[-1] + EOW] if word else []
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_sequential_oracle():
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "wide": 1}
+    merges = train_bpe(freqs, 8)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in list(freqs) + ["newer", "lowest", "west", "w", "zz"]:
+        assert list(encode_word(w, ranks)) == _oracle_encode(w, merges), w
+
+
+def test_bpe_encode_roundtrip_property():
+    freqs = {"hello": 4, "help": 3, "world": 5, "word": 2}
+    merges = train_bpe(freqs, 6)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for text in ("hello world", "help the word", "unseen tokens here!"):
+        toks = encode_text(text, ranks)
+        # concatenating tokens and splitting on </w> restores the
+        # pre-tokenized word sequence exactly
+        words = [w for w in "".join(toks).split(EOW) if w]
+        assert words == pretokenize(text)
+
+
+def test_bpe_spark_encode_and_count(spark):
+    rows = [
+        (0, "the newest widest thing"),
+        (1, "lower and lower, the lowest!"),
+        (2, None),
+        (3, ""),
+        (4, "the the the newest newest"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = train_bpe_from_corpus(df, n_merges=10, sample_docs=100)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    got = {r.doc_id: r.tokens for r in bpe_encode(df, merges).collect()}
+    for did, text in rows:
+        if text is None:
+            assert got[did] is None
+        else:
+            assert got[did] == encode_text(text, ranks), did
+
+    cnt = {
+        r.doc_id: r.n_tokens_bpe
+        for r in bpe_token_count(df, merges).collect()
+    }
+    for did, text in rows:
+        want = 0 if text is None else len(encode_text(text, ranks))
+        assert cnt[did] == want, did
+
+
+def test_bpe_spark_train_matches_local_counter(spark):
+    rows = [(i, f"alpha beta gamma w{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = train_bpe_from_corpus(df, n_merges=5, sample_docs=0)
+    from collections import Counter
+
+    c = Counter()
+    for _, t in rows:
+        c.update(pretokenize(t))
+    assert merges == train_bpe(dict(c), 5)
+
+
+def test_bpe_plan_no_shuffle(spark):
+    df = spark.createDataFrame([(0, "a b")], "doc_id: long, text: string")
+    merges = [("a", "b" + EOW)]
+    plan = (
+        bpe_token_count(df, merges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan  # Arrow-batched, not row-at-a-time
+
+
+# -------------------------------------------------------------- Bloom
+def test_bloom_params_sane():
+    m, k = bloom_params(1000, 0.01)
+    assert m % 8 == 0 and 9000 < m < 11000 and 6 <= k <= 8
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    done = spark.range(0, 2000).select(
+        F.concat(F.lit("digest-"), F.col("id")).alias("d")
+    )
+    bloom = build_bloom(done, "d", capacity=2000, fpp=0.01)
+    probe_members = bloom_probe_col(done, "d", bloom)
+    assert probe_members.where(~F.col("_maybe_member")).count() == 0
+    others = spark.range(10_000, 30_000).select(
+        F.concat(F.lit("digest-"), F.col("id")).alias("d")
+    )
+    fp = bloom_probe_col(others, "d", bloom).where("_maybe_member").count()
+    assert fp / 20_000 < 0.03  # ~1% design point, 3x headroom
+
+
+def test_bloom_anti_join_exact(spark):
+    batch = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("k"), F.col("id") % 400).alias("key"),
+    )
+    done = spark.range(0, 200).select(
+        F.concat(F.lit("k"), F.col("id")).alias("key")
+    )
+    bloom = build_bloom(done, "key", capacity=200, fpp=0.01)
+    got = (
+        bloom_anti_join(batch, done, "key", bloom)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    want = (
+        batch.join(done, "key", "left_anti").orderBy("doc_id").toPandas()
+    )
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.key) == list(want.key)
+
+
+def test_bloom_build_many_partitions_and_nulls(spark):
+    done = (
+        spark.range(0, 5000, 1, 64)
+        .select(
+            F.when(F.col("id") % 50 == 0, None)
+            .otherwise(F.concat(F.lit("x"), F.col("id")))
+            .alias("d")
+        )
+    )
+    bloom = build_bloom(done, "d", capacity=5000, fpp=0.01, fanin=8)
+    present = done.where(F.col("d").isNotNull())
+    assert (
+        bloom_probe_col(present, "d", bloom)
+        .where(~F.col("_maybe_member"))
+        .count()
+        == 0
+    )
+    # NULL keys probe False (and never enter the filter)
+    nulls = spark.createDataFrame([(None,)], "d: string")
+    r = bloom_probe_col(nulls, "d", bloom).collect()[0]
+    assert r._maybe_member is False
+
+
+# ---------------------------------------------------- CLI integration
+def test_cli_curate_c4_and_bpe(spark, tmp_path, capsys):
+    """curate --c4 --bpe-merges --pack-tokens end-to-end: C4 drops the
+    punctuation-free page, BPE subword counts drive packing."""
+    import argparse
+    import os
+
+    from streetview_naturevisibility_spark import cli
+
+    rows = []
+    for i in range(40):
+        if i % 10 == 9:
+            rows.append((i, "no terminal punctuation here at all", "en"))
+        else:
+            lines = [
+                f"Document {i} sentence number {j} is here." for j in range(6)
+            ]
+            rows.append((i, "\n".join(lines), "en"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, lang: string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "cur")
+    args = argparse.Namespace(
+        master="local[4]",
+        docs=src,
+        out=out,
+        min_quality=0.0,
+        jaccard=0.5,
+        max_bucket=10_000,
+        sample=None,
+        default_rate=1.0,
+        c4=True,
+        c4_min_words=3,
+        c4_min_sentences=5,
+        bpe_merges=30,
+        bpe_sample=100,
+        pack_tokens=64,
+    )
+    cli.cmd_curate(args)
+    text = capsys.readouterr().out
+    assert "[c4] kept=36 of 40 pages" in text
+    assert "[bpe] learned" in text
+    assert "[pack]" in text
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    # packed training rows with BPE subword totals
+    assert {"bin_id", "packed_text", "n_docs", "n_tokens"} <= set(cur.columns)
+    assert cur.count() > 0
+    # every surviving document landed in exactly one bin, and the bin
+    # count is the closed-form ceil(total_subwords / budget)
+    tot = cur.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("b")
+    ).collect()[0]
+    assert int(tot.b) == -(-int(tot.t) // 64)

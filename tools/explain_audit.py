@@ -646,6 +646,78 @@ def main() -> None:
         )
     )
 
+    # 22. C4 cleaning: pure codegen Project, zero shuffle, zero Python
+    from streetview_naturevisibility_spark.operators.textops import c4_clean
+
+    q22 = c4_clean(docs)
+    p22 = plan_of(q22)
+    ok22, n22 = check(
+        "c4_clean map-only codegen",
+        p22,
+        must=["WholeStageCodegen"],
+        must_not=["Exchange", "Python", "SortAggregate"],
+    )
+    sections.append(
+        ("C4 cleaning: line+page heuristics as one codegen Project", q22, p22, ok22, n22)
+    )
+
+    # 23. BPE token count: ONE ArrowEvalPython (broadcast ranks, Arrow
+    # batches), zero shuffle — a map-only stage at any corpus size
+    from streetview_naturevisibility_spark.operators.tokenize import (
+        bpe_token_count,
+    )
+
+    q23 = bpe_token_count(docs, [("t", "h"), ("th", "e</w>")])
+    p23 = plan_of(q23)
+    ok23, n23 = check(
+        "bpe_token_count Arrow-batched map stage",
+        p23,
+        must=["ArrowEvalPython"],
+        must_not=["Exchange", "BatchEvalPython", "SortAggregate"],
+    )
+    n_py23 = p23.count(") ArrowEvalPython")
+    if n_py23 != 1:
+        ok23 = False
+        n23 += f"  - FAIL: expected 1 ArrowEvalPython, found {n_py23}\n"
+    else:
+        n23 += "  - PASS: exactly 1 ArrowEvalPython (encode kernel)\n"
+    sections.append(
+        ("BPE subword count: broadcast merges, zero shuffle", q23, p23, ok23, n23)
+    )
+
+    # 24. Bloom anti-join: certain-miss slice is a map-only probe (no
+    # join at all); only Bloom-positives enter the residual anti-join,
+    # which must be hash-based, never a sort-merge or cartesian
+    from streetview_naturevisibility_spark.operators.bloom import (
+        bloom_anti_join,
+        build_bloom,
+    )
+
+    done24 = spark.range(0, 500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("digest")
+    )
+    bloom24 = build_bloom(done24, "digest", capacity=500, fpp=0.01)
+    batch24 = docs.select(
+        "doc_id", F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("digest")
+    )
+    q24 = bloom_anti_join(batch24, done24, "digest", bloom24)
+    p24 = plan_of(q24)
+    ok24, n24 = check(
+        "bloom anti-join residual",
+        p24,
+        must=["ArrowEvalPython", "LeftAnti"],
+        must_not=["SortMergeJoin", "CartesianProduct", "BatchEvalPython"],
+    )
+    sections.append(
+        (
+            "Bloom-filter anti-join: broadcast-probe bulk, hash residual join",
+            q24,
+            p24,
+            ok24,
+            n24,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
