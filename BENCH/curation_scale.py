@@ -240,31 +240,44 @@ def main() -> None:
         "subwords": int(r.t),
     }
 
-    # Bloom anti-join vs plain anti-join at 1M x 1M digests: the done
-    # set is half the corpus (every even doc's digest) -> exactly the
-    # odd docs must survive BOTH paths; the Bloom path shuffles only
-    # members + ~fpp of the misses into the residual join.
+    # Bloom anti-join in its DESIGN regime: done set 8x the batch and
+    # far beyond broadcast size (8M md5 strings ~ 350 MB), small
+    # per-batch overlap (5% — the incremental-funnel steady state).
+    # Plain left-anti must shuffle done+batch (SMJ); the Bloom path
+    # probes the batch map-only and resolves the positive slice with
+    # the semi-then-anti decomposition (done SCANNED, never
+    # SHUFFLED). Build is once-per-corpus, amortized across batches —
+    # reported separately. Survivor counts asserted equal both paths.
     from streetview_naturevisibility_spark.operators.bloom import (
         bloom_anti_join,
         build_bloom,
     )
 
-    keyed = docs.select(
-        "doc_id", F.md5(F.concat_ws("|", F.col("doc_id"), F.col("text"))).alias("d")
+    n_done = 8 * n
+    done = spark.range(0, n_done, 1, cpus * 2).select(
+        F.md5(F.concat(F.lit("done"), F.col("id"))).alias("d")
     )
-    done = keyed.where(F.col("doc_id") % 2 == 0).select("d")
+    batch = spark.range(0, n, 1, cpus * 2).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 20 == 0,
+            F.md5(F.concat(F.lit("done"), F.col("id"))),
+        )
+        .otherwise(F.md5(F.concat(F.lit("new"), F.col("id"))))
+        .alias("d"),
+    )
     t0 = time.perf_counter()
-    bloom = build_bloom(done, "d", capacity=n // 2, fpp=0.01)
+    bloom = build_bloom(done, "d", capacity=n_done, fpp=0.01)
     build_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    nb = bloom_anti_join(keyed, done, "d", bloom).count()
+    nb = bloom_anti_join(batch, done, "d", bloom, residual="broadcast").count()
     bloom_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    np_ = keyed.join(done, "d", "left_anti").count()
+    np_ = batch.join(done, "d", "left_anti").count()
     plain_s = time.perf_counter() - t0
-    assert nb == np_ == n - n // 2, (nb, np_)
-    results["bloom_anti_join_1m"] = {
-        "build_wall_s": round(build_s, 2),
+    assert nb == np_ == n - n // 20, (nb, np_)
+    results["bloom_anti_join_1m_vs_8m"] = {
+        "build_once_wall_s": round(build_s, 2),
         "bloom_join_wall_s": round(bloom_s, 2),
         "plain_join_wall_s": round(plain_s, 2),
         "survivors": nb,

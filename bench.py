@@ -425,6 +425,43 @@ def main() -> None:
     assert int(r.dp) == n_funnel // 100, "planted semantic dups not all found"
     funnel_counts["dsir_top10k_from_target_domain"] = int(n_junk)
 
+    # r6 additions: C4 cleaning (codegen generator, 50k planted
+    # lorem-ipsum kills asserted) and BPE subword counting (bounded
+    # sample train + broadcast-ranks Arrow map stage) at 1M docs
+    from streetview_naturevisibility_spark.operators.textops import c4_clean
+    from streetview_naturevisibility_spark.operators.tokenize import (
+        bpe_token_count,
+        train_bpe_from_corpus,
+    )
+
+    c4_docs = docs1m.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". End sentence one. Two more here. Three now. "
+                  "Four follow. Five close."),
+            F.when(F.col("doc_id") % 20 == 3, F.lit(" lorem ipsum")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    r = c4_clean(c4_docs).agg(
+        F.sum(F.col("keep").cast("long")).alias("kept")
+    ).collect()[0]
+    times["c4_clean_1m"] = round(time.time() - t0, 3)
+    assert int(r.kept) <= n_funnel - n_funnel // 20, "planted lorem survived c4"
+
+    t0 = time.time()
+    merges = train_bpe_from_corpus(docs1m, n_merges=100, sample_docs=2000)
+    r = (
+        bpe_token_count(docs1m, merges)
+        .agg(F.sum("n_tokens_bpe").alias("t"))
+        .collect()[0]
+    )
+    times["bpe_count_1m"] = round(time.time() - t0, 3)
+    assert int(r.t) > 0 and len(merges) > 0
+
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(

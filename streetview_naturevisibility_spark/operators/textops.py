@@ -1478,48 +1478,72 @@ def c4_clean(
     so callers can either ``filter("keep")`` or audit the funnel.
     NULL text -> empty clean text, keep=false.
 
-    Physical shape: Scan -> Project, every heuristic a codegen
-    expression (split / filter / rlike / regexp_count); at 100 TB this
-    is a map-only stage pipelined into whatever follows. The
-    three-sentence-span dedup C4 pairs with these heuristics is the
-    engine's existing ``paragraph_dedup``/``chunk_dedup`` layer.
+    Physical shape: Scan -> Generate(inline) -> Project, every
+    heuristic a codegen expression (split / filter / rlike /
+    regexp_count); at 100 TB this is a map-only stage pipelined into
+    whatever follows. The six outputs share the line-filter chain, so
+    a plain 6-column Project would re-evaluate it per referencing
+    column (projection collapse inlines aliases, and there is no CSE
+    across HOF lambdas — the let_col lesson); instead the outputs are
+    built as ONE struct inside nested let_col bindings and expanded
+    through ``inline``, whose generator input is evaluated once per
+    row (EXPLAIN §22 asserts the filter chain appears exactly once in
+    the plan). The three-sentence-span dedup C4 pairs with these
+    heuristics is the engine's existing ``paragraph_dedup``/
+    ``chunk_dedup`` layer.
     """
+    from ..functions.hof import let_col
+
     raw = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
+    lines_expr = F.transform(F.split(raw, "\n"), lambda l: F.trim(l))
 
     def _wc(l):
         return F.when(l == "", F.lit(0)).otherwise(
             F.size(F.split(l, "\\s+"))
         )
 
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike('[.!?"”]$')
-        & (_wc(l) >= F.lit(int(min_words_per_line)))
-        & ~F.lower(l).contains("javascript"),
-    )
-    clean = F.concat_ws("\n", kept)
-    n_sent = F.regexp_count(clean, F.lit("[.!?]+"))
-    keep = (
-        ~F.lower(raw).contains("lorem ipsum")
-        & ~raw.contains("{")
-        & ~raw.contains("}")
-        & (n_sent >= F.lit(int(min_sentences)))
-    )
-    if badwords:
-        # non-capturing alternation between non-word context; escape
-        # regex metachars so the list is data, not pattern syntax
-        import re as _re
+    def _keep_doc(n_sent):
+        keep = (
+            ~F.lower(raw).contains("lorem ipsum")
+            & ~raw.contains("{")
+            & ~raw.contains("}")
+            & (n_sent >= F.lit(int(min_sentences)))
+        )
+        if badwords:
+            # non-capturing alternation between non-word context;
+            # escape regex metachars so the list is data, not pattern
+            import re as _re
 
-        pat = "(?i)(^|\\W)(" + "|".join(
-            _re.escape(w) for w in sorted(badwords)
-        ) + ")($|\\W)"
-        keep = keep & ~raw.rlike(pat)
+            pat = "(?i)(^|\\W)(" + "|".join(
+                _re.escape(w) for w in sorted(badwords)
+            ) + ")($|\\W)"
+            keep = keep & ~raw.rlike(pat)
+        return keep
+
+    def _row(lines):
+        kept_expr = F.filter(
+            lines,
+            lambda l: l.rlike('[.!?"”]$')
+            & (_wc(l) >= F.lit(int(min_words_per_line)))
+            & ~F.lower(l).contains("javascript"),
+        )
+        return let_col(
+            kept_expr,
+            lambda kept: let_col(
+                F.concat_ws("\n", kept),
+                lambda clean: let_col(
+                    F.regexp_count(clean, F.lit("[.!?]+")),
+                    lambda n_sent: F.struct(
+                        clean.alias("text_clean"),
+                        F.size(lines).alias("n_lines"),
+                        F.size(kept).alias("n_lines_kept"),
+                        n_sent.alias("n_sentences"),
+                        _keep_doc(n_sent).alias("keep"),
+                    ),
+                ),
+            ),
+        )
+
     return df.select(
-        F.col(id_col),
-        clean.alias("text_clean"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept).alias("n_lines_kept"),
-        n_sent.alias("n_sentences"),
-        keep.alias("keep"),
+        F.col(id_col), F.inline(F.transform(F.array(lines_expr), _row))
     )

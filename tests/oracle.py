@@ -1040,7 +1040,9 @@ def duckdb_c4_clean(
           FROM d),
         c AS (
           SELECT doc_id, raw, lines, kept,
-                 array_to_string(kept, chr(10)) AS text_clean
+                 -- array_to_string([]) is NULL in DuckDB; Spark's
+                 -- concat_ws over an empty array is '' — align
+                 coalesce(array_to_string(kept, chr(10)), '') AS text_clean
           FROM k)
         SELECT doc_id, text_clean,
           len(lines) AS n_lines, len(kept) AS n_lines_kept,

@@ -271,16 +271,18 @@ def test_bloom_anti_join_exact(spark):
         F.concat(F.lit("k"), F.col("id")).alias("key")
     )
     bloom = build_bloom(done, "key", capacity=200, fpp=0.01)
-    got = (
-        bloom_anti_join(batch, done, "key", bloom)
-        .orderBy("doc_id")
-        .toPandas()
-    )
     want = (
         batch.join(done, "key", "left_anti").orderBy("doc_id").toPandas()
     )
-    assert list(got.doc_id) == list(want.doc_id)
-    assert list(got.key) == list(want.key)
+    # all three residual strategies are EXACTLY the anti-join
+    for residual in ("join", "broadcast", "auto"):
+        got = (
+            bloom_anti_join(batch, done, "key", bloom, residual=residual)
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert list(got.doc_id) == list(want.doc_id), residual
+        assert list(got.key) == list(want.key), residual
 
 
 def test_bloom_build_many_partitions_and_nulls(spark):
@@ -360,3 +362,56 @@ def test_cli_curate_c4_and_bpe(spark, tmp_path, capsys):
         F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("b")
     ).collect()[0]
     assert int(tot.b) == -(-int(tot.t) // 64)
+
+
+# ------------------------------------------------- streaming analogs
+def test_c4_and_bpe_stream_match_batch(spark, tmp_path):
+    """c4_clean and bpe_token_count are stateless projections, so they
+    run unchanged on a file stream; AvailableNow output must equal the
+    batch result row-for-row."""
+    import os
+
+    rows = []
+    for i in range(30):
+        if i == 7:
+            rows.append((i, None))
+        elif i % 5 == 2:
+            rows.append((i, "no terminal punct line\nlorem ipsum too"))
+        else:
+            rows.append(
+                (i, "\n".join(f"Doc {i} sentence {j} stands here." for j in range(6)))
+            )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id: long, text: string").repartition(
+        3
+    ).write.mode("overwrite").parquet(src)
+    merges = [("s", "t"), ("st", "a"), ("e", "n")]
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    streamed = bpe_token_count(c4_clean(stream), merges, text_col="text_clean")
+    out = str(tmp_path / "out")
+    q = (
+        streamed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.read.parquet(out)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        bpe_token_count(
+            c4_clean(spark.read.parquet(src)), merges, text_col="text_clean"
+        )
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for c in ("doc_id", "text_clean", "keep", "n_tokens_bpe"):
+        assert list(got[c]) == list(want[c]), c
+    assert len(got) == 30

@@ -652,13 +652,28 @@ def main() -> None:
     q22 = c4_clean(docs)
     p22 = plan_of(q22)
     ok22, n22 = check(
-        "c4_clean map-only codegen",
+        "c4_clean map-only generator",
         p22,
-        must=["WholeStageCodegen"],
+        must=["Generate", "inline(transform(array("],
         must_not=["Exchange", "Python", "SortAggregate"],
     )
+    # single evaluation: the kept-line filter chain (identifiable by
+    # its 'javascript' literal) must appear EXACTLY once — a plain
+    # 6-column Project re-evaluates it per referencing column
+    n_chain = p22.count("javascript")
+    if n_chain != 1:
+        ok22 = False
+        n22 += f"  - FAIL: line-filter chain appears {n_chain}x (want 1)\n"
+    else:
+        n22 += "  - PASS: line-filter chain evaluated once (inline struct)\n"
     sections.append(
-        ("C4 cleaning: line+page heuristics as one codegen Project", q22, p22, ok22, n22)
+        (
+            "C4 cleaning: line+page heuristics, one generator-evaluated struct",
+            q22,
+            p22,
+            ok22,
+            n22,
+        )
     )
 
     # 23. BPE token count: ONE ArrowEvalPython (broadcast ranks, Arrow
