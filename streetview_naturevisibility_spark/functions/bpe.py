@@ -50,7 +50,80 @@ def train_bpe(
     when no pair occurs at least twice — merging a unique pair can
     never help compression and would make the merge list depend on
     noise words.
+
+    Incremental bookkeeping (subword-nmt's optimization; behaviour-
+    identical to a naive full-rescan — pytest pins the paper example
+    and a rescan-parity case): a pair->words inverted index means each
+    merge re-counts only the words CONTAINING the winning pair —
+    O(affected words) per merge instead of O(vocab).
     """
+    words: list[tuple[str, ...]] = []
+    freqs: list[int] = []
+    for w, f in word_freqs.items():
+        if w:
+            words.append(word_to_symbols(w))
+            freqs.append(f)
+
+    pairs: Counter[tuple[str, str]] = Counter()
+    where: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] += f
+            where.setdefault((a, b), set()).add(wi)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < 2:
+            break
+        pair = best[0]
+        merges.append(pair)
+        merged = pair[0] + pair[1]
+        for wi in list(where.get(pair, ())):
+            syms = words[wi]
+            f = freqs[wi]
+            # retract the word's old pair contributions, apply the
+            # merge, then add the new ones back — net effect on the
+            # global counter is exactly the full-rescan delta
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] -= f
+                if pairs[(a, b)] <= 0:
+                    del pairs[(a, b)]
+                s = where.get((a, b))
+                if s is not None:
+                    s.discard(wi)
+                    if not s:
+                        del where[(a, b)]
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == pair[0]
+                    and syms[i + 1] == pair[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_syms = tuple(out)
+            words[wi] = new_syms
+            for a, b in zip(new_syms, new_syms[1:]):
+                pairs[(a, b)] += f
+                where.setdefault((a, b), set()).add(wi)
+    return merges
+
+
+def train_bpe_rescan(
+    word_freqs: dict[str, int], n_merges: int
+) -> list[tuple[str, str]]:
+    """Naive full-rescan reference trainer (the textbook algorithm).
+    Kept as the parity oracle for the incremental ``train_bpe`` —
+    O(vocab) per merge, so tests only."""
     vocab: dict[tuple[str, ...], int] = {
         word_to_symbols(w): f for w, f in word_freqs.items() if w
     }

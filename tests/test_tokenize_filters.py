@@ -415,3 +415,25 @@ def test_c4_and_bpe_stream_match_batch(spark, tmp_path):
     for c in ("doc_id", "text_clean", "keep", "n_tokens_bpe"):
         assert list(got[c]) == list(want[c]), c
     assert len(got) == 30
+
+
+def test_bpe_incremental_matches_rescan():
+    """The incremental pair-index trainer must produce the exact merge
+    list of the textbook full-rescan trainer on a varied vocab
+    (including words that become identical after merges)."""
+    from streetview_naturevisibility_spark.functions.bpe import (
+        train_bpe_rescan,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    alphabet = "abcde"
+    freqs = {}
+    for _ in range(300):
+        w = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        freqs[w] = freqs.get(w, 0) + rng.randint(1, 9)
+    assert train_bpe(dict(freqs), 60) == train_bpe_rescan(dict(freqs), 60)
+    # and on the paper vocab with deep merges
+    f2 = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert train_bpe(f2, 30) == train_bpe_rescan(f2, 30)
