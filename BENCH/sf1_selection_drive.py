@@ -114,9 +114,97 @@ def main() -> None:
         "all_copies_killed": all(v < 1_000_000 for v in kept_sf1),
         "wall_s": round(wall, 1),
     }
+    # ---- leg 3 (round-6 additions): C4 twin, BPE kernel parity, and
+    # Bloom==plain anti-join, all at the 10x replica scale
+    import pandas as pd
+
+    from streetview_naturevisibility_spark.functions.bpe import encode_text
+    from streetview_naturevisibility_spark.operators.bloom import (
+        bloom_anti_join,
+        build_bloom,
+    )
+    from streetview_naturevisibility_spark.operators.textops import c4_clean
+    from streetview_naturevisibility_spark.operators.tokenize import (
+        bpe_token_count,
+        train_bpe_from_corpus,
+    )
+    from tests.oracle import duckdb_c4_clean
+
+    docs = load(spark, SF1, "documents")
+    # give the punctuation-free corpus real C4 structure: terminal
+    # sentences everywhere, lorem-ipsum on doc_id % 20 == 3
+    c4_in = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". End one. Two more. Three now. Four here. Five close."),
+            F.when(F.col("doc_id") % 20 == 3, F.lit(" lorem ipsum"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    t0 = time.perf_counter()
+    got_c4 = (
+        c4_clean(c4_in)
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want_c4 = (
+        duckdb_c4_clean(c4_in.orderBy("doc_id").toPandas())
+        .reset_index(drop=True)
+    )
+    c4_equal = all(
+        list(got_c4[c]) == list(want_c4[c])
+        for c in ("text_clean", "n_lines", "n_lines_kept", "n_sentences", "keep")
+    )
+    results["c4_clean_sf1"] = {
+        "rows": len(got_c4),
+        "twin_value_exact": bool(c4_equal),
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+    t0 = time.perf_counter()
+    merges = train_bpe_from_corpus(docs, n_merges=100, sample_docs=5000)
+    ranks = {p: i for i, p in enumerate(merges)}
+    spark_total = int(
+        bpe_token_count(docs, merges)
+        .agg(F.sum("n_tokens_bpe").alias("t"))
+        .collect()[0]
+        .t
+    )
+    cache: dict = {}
+    kernel_total = sum(
+        len(encode_text(t, ranks, cache))
+        for (t,) in docs.select("text").toPandas().itertuples(index=False)
+        if t is not None
+    )
+    results["bpe_count_sf1"] = {
+        "n_merges": len(merges),
+        "spark_subwords": spark_total,
+        "kernel_subwords": kernel_total,
+        "value_exact": spark_total == kernel_total,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
+    t0 = time.perf_counter()
+    keyed = docs.select("doc_id", F.md5("text").alias("d"))
+    done = keyed.where(F.col("doc_id") % 2 == 0).select("d").distinct()
+    bloom = build_bloom(done, "d", capacity=500_000, fpp=0.01)
+    nb = bloom_anti_join(keyed, done, "d", bloom, residual="auto").count()
+    npl = keyed.join(done, "d", "left_anti").count()
+    results["bloom_anti_sf1"] = {
+        "bloom_survivors": int(nb),
+        "plain_survivors": int(npl),
+        "value_exact": nb == npl,
+        "wall_s": round(time.perf_counter() - t0, 1),
+    }
+
     ok = (
         results["contract_at_sf1"]["exit"] == 0
         and kept_sf1 == kept_base
+        and c4_equal
+        and spark_total == kernel_total
+        and nb == npl
     )
     results["ok"] = ok
     print(json.dumps(results))

@@ -234,3 +234,44 @@ def test_incremental_funnel_kills_attributed(spark, ivf_index):
     inc = semantic_dedup_incremental(b_emb, index_path, threshold=THR)
     killed = {r.vec_id for r in inc.where(~F.col("kept")).collect()}
     assert killed == {103, 105}
+
+
+def test_done_set_anti_join_bloom_equivalent(spark):
+    """The exact-dedup-vs-done-set step of the incremental funnel,
+    routed through the Bloom pre-probe (operators/bloom.py): identical
+    survivor set to the plain left-anti — no false negatives, the
+    false-positive slice is resolved by the residual join. At 100 TB
+    this is the step where the filter replaces re-shuffling the
+    ever-growing done digest set every batch."""
+    from streetview_naturevisibility_spark.operators.bloom import (
+        bloom_anti_join,
+        build_bloom,
+    )
+
+    # digests are taken AFTER fix_text, as the funnel does — the
+    # planted cross-corpus dup is a mojibake-corrupted copy that only
+    # matches its corpus original once repaired
+    docs_a = fix_text(_docs_df(spark, _A_TEXTS)).select(
+        "doc_id", F.col("text_fixed").alias("text")
+    )
+    docs_b = fix_text(_docs_df(spark, _B_TEXTS)).select(
+        "doc_id", F.col("text_fixed").alias("text")
+    )
+    done = docs_a.select(F.md5("text").alias("digest"))
+    batch = docs_b.select("doc_id", F.md5("text").alias("digest"))
+
+    bloom = build_bloom(done, "digest", capacity=64, fpp=0.01)
+    want = sorted(
+        r.doc_id
+        for r in batch.join(done, "digest", "left_anti").collect()
+    )
+    for residual in ("join", "broadcast", "auto"):
+        got = sorted(
+            r.doc_id
+            for r in bloom_anti_join(
+                batch, done, "digest", bloom, residual=residual
+            ).collect()
+        )
+        assert got == want, residual
+    # the funnel's planted cross-corpus exact dup is actually removed
+    assert len(want) < docs_b.count()
