@@ -437,3 +437,39 @@ def test_bpe_incremental_matches_rescan():
     # and on the paper vocab with deep merges
     f2 = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
     assert train_bpe(f2, 30) == train_bpe_rescan(f2, 30)
+
+
+# ------------------------------------------------ property (hypothesis)
+from hypothesis import given, settings, strategies as st
+
+settings.register_profile("fast_tok", max_examples=50, deadline=None)
+settings.load_profile("fast_tok")
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=10)
+
+
+@given(st.dictionaries(_word, st.integers(1, 20), min_size=1, max_size=40),
+       st.integers(0, 30))
+def test_bpe_train_property_incremental_equals_rescan(freqs, n):
+    from streetview_naturevisibility_spark.functions.bpe import (
+        train_bpe_rescan,
+    )
+
+    assert train_bpe(dict(freqs), n) == train_bpe_rescan(dict(freqs), n)
+
+
+@given(
+    st.dictionaries(_word, st.integers(1, 20), min_size=1, max_size=30),
+    st.lists(st.text(alphabet="abcdef !?.", max_size=40), max_size=5),
+)
+def test_bpe_encode_property_roundtrip_and_oracle(freqs, texts):
+    merges = train_bpe(dict(freqs), 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for text in texts:
+        toks = encode_text(text, ranks)
+        # lossless: concat+EOW-split restores the pre-token stream
+        words = [w for w in "".join(toks).split(EOW) if w]
+        assert words == pretokenize(text)
+        # greedy == sequential merge application, word by word
+        for w in pretokenize(text):
+            assert list(encode_word(w, ranks)) == _oracle_encode(w, merges)
