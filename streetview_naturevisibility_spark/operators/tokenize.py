@@ -123,3 +123,77 @@ def bpe_token_count(
         )
 
     return df.withColumn(out_col, cnt(F.col(text_col)))
+
+
+def save_merges(
+    spark: SparkSession, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist the learned merge list as parquet (rank, left, right) —
+    the tokenizer is a model artifact; training once and reusing it
+    across corpus versions is the published regime."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank int, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark: SparkSession, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r.left, r.right) for r in rows]
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol->id table: byte-order-sorted single
+    characters and ``c</w>`` forms reachable from the merges' symbol
+    inventory first, then each merge's output symbol in rank order
+    (the standard BPE vocab construction: base alphabet + one new
+    symbol per merge). Unknown base characters at encode time map to
+    ``unk_id = len(vocab)``."""
+    from ..functions.bpe import EOW
+
+    base: set[str] = set()
+    for a, b in merges:
+        for s in (a, b):
+            stripped = s[:-len(EOW)] if s.endswith(EOW) else s
+            for ch in stripped:
+                base.add(ch)
+                base.add(ch + EOW)
+    vocab: dict[str, int] = {}
+    for s in sorted(base):
+        vocab[s] = len(vocab)
+    for a, b in merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    return vocab
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """-> (id, token_ids array<int>) — the shape a training pipeline
+    consumes (feed to ``pack_assignments`` via ``F.size`` for exact
+    packed budgets). Symbols outside the vocab (characters the sample
+    never saw) map to the single reserved unk id = len(vocab). Same
+    broadcast + Arrow-batched plumbing as ``bpe_encode``."""
+    vocab = bpe_vocab(merges)
+    unk = len(vocab)
+    spark = df.sparkSession
+    bc_r = _ranks_bc(spark, merges)
+    bc_v = spark.sparkContext.broadcast(vocab)
+
+    @F.pandas_udf("array<int>")
+    def enc(texts: pd.Series) -> pd.Series:
+        ranks = bc_r.value
+        v = bc_v.value
+        cache: dict[str, tuple[str, ...]] = {}
+        return texts.map(
+            lambda t: None
+            if t is None
+            else [v.get(s, unk) for s in encode_text(t, ranks, cache)]
+        )
+
+    return df.select(F.col(id_col), enc(F.col(text_col)).alias("token_ids"))

@@ -473,3 +473,37 @@ def test_bpe_encode_property_roundtrip_and_oracle(freqs, texts):
         # greedy == sequential merge application, word by word
         for w in pretokenize(text):
             assert list(encode_word(w, ranks)) == _oracle_encode(w, merges)
+
+
+def test_bpe_artifact_roundtrip_and_ids(spark, tmp_path):
+    """save_merges -> load_merges roundtrip; bpe_encode_ids maps every
+    token through the deterministic vocab, unknown chars to unk_id."""
+    from streetview_naturevisibility_spark.operators.tokenize import (
+        bpe_encode_ids,
+        bpe_vocab,
+        load_merges,
+        save_merges,
+    )
+
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freqs, 6)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    assert load_merges(spark, path) == merges
+
+    vocab = bpe_vocab(merges)
+    # base chars + their </w> forms + one new symbol per merge, no gaps
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+    assert all((a + b) in vocab for a, b in merges)
+    unk = len(vocab)
+
+    df = spark.createDataFrame(
+        [(0, "newest low"), (1, "zzz"), (2, None)],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.token_ids for r in bpe_encode_ids(df, merges).collect()}
+    ranks = {p: i for i, p in enumerate(merges)}
+    want0 = [vocab[s] for s in encode_text("newest low", ranks)]
+    assert got[0] == want0
+    # 'z' never seen by the trainer -> every symbol is unk
+    assert got[1] == [unk, unk, unk] and got[2] is None
