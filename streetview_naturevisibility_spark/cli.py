@@ -476,6 +476,39 @@ def cmd_curate(args: argparse.Namespace) -> None:
     # (doc_id, text, lang); at 100 TB checkpoint a pruned projection
     n_exact = exact.count()
 
+    if getattr(args, "done_digests", None):
+        # INCREMENTAL exact dedup vs the already-curated done set:
+        # drop every doc whose md5 digest appears in the given parquet
+        # (column `digest`). --done-bloom routes through the Bloom
+        # pre-probe (operators/bloom.py) — same survivors, the done
+        # set is scanned, never shuffled; the filter would be built
+        # once and reused across batches on a real deployment.
+        done = spark.read.parquet(args.done_digests).select("digest")
+        keyed = exact.withColumn("_digest", F.md5(F.col("text")))
+        if getattr(args, "done_bloom", False):
+            from .operators.bloom import bloom_anti_join, build_bloom
+
+            cap = done.count()
+            bloom = build_bloom(done, "digest", capacity=max(cap, 1))
+            exact = bloom_anti_join(
+                keyed.withColumnRenamed("_digest", "digest"),
+                done,
+                "digest",
+                bloom,
+            ).drop("digest")
+            mode = f"bloom(capacity={cap})"
+        else:
+            exact = keyed.join(
+                done, keyed["_digest"] == done["digest"], "left_anti"
+            ).drop("_digest")
+            mode = "anti-join"
+        n_after_done = exact.count()
+        print(
+            f"[done-set] dropped={n_exact - n_after_done} already-curated "
+            f"docs ({mode})"
+        )
+        n_exact = n_after_done
+
     # near-dup: LSH pairs -> connected components -> keep canonical
     pairs, metrics = minhash_lsh_pairs(
         exact,
@@ -702,6 +735,19 @@ def main() -> None:
         "count real subwords instead of whitespace tokens",
     )
     pc.add_argument("--bpe-sample", type=int, default=10_000)
+    pc.add_argument(
+        "--done-digests",
+        default=None,
+        help="parquet of already-curated content digests (column "
+        "`digest`, md5 of text): incremental runs drop matching docs "
+        "after within-corpus exact dedup",
+    )
+    pc.add_argument(
+        "--done-bloom",
+        action="store_true",
+        help="route the --done-digests anti-join through the Bloom "
+        "pre-probe (scan the done set, never shuffle it)",
+    )
     pc.add_argument(
         "--lm-ref",
         default=None,

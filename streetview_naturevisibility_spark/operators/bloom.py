@@ -39,6 +39,8 @@ _H2_SALT = 0x5BD1E995  # second-hash salt column (any fixed literal)
 
 def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
     """-> (m_bits, k). m rounded up to a byte multiple."""
+    if not (0.0 < fpp < 1.0):
+        raise ValueError(f"fpp must be in (0, 1), got {fpp}")
     capacity = max(1, int(capacity))
     m = int(math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2)))
     m = (m + 7) & ~7

@@ -507,3 +507,46 @@ def test_bpe_artifact_roundtrip_and_ids(spark, tmp_path):
     assert got[0] == want0
     # 'z' never seen by the trainer -> every symbol is unk
     assert got[1] == [unk, unk, unk] and got[2] is None
+
+
+def test_cli_curate_done_set(spark, tmp_path, capsys):
+    """Incremental curate: --done-digests drops already-curated docs,
+    --done-bloom yields the identical funnel."""
+    import argparse
+    import os
+
+    from streetview_naturevisibility_spark import cli
+
+    rows = [(i, f"unique document body number {i} with words") for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+    done = str(tmp_path / "done")
+    # first 10 docs are already curated
+    spark.createDataFrame(
+        [(r[1],) for r in rows[:10]], "text: string"
+    ).select(F.md5("text").alias("digest")).write.parquet(done)
+
+    outs = {}
+    for use_bloom in (False, True):
+        out = str(tmp_path / f"cur_{use_bloom}")
+        args = argparse.Namespace(
+            master="local[4]",
+            docs=src,
+            out=out,
+            min_quality=0.0,
+            jaccard=0.5,
+            max_bucket=10_000,
+            sample=None,
+            default_rate=1.0,
+            done_digests=done,
+            done_bloom=use_bloom,
+        )
+        cli.cmd_curate(args)
+        text = capsys.readouterr().out
+        assert "[done-set] dropped=10" in text, text
+        outs[use_bloom] = sorted(
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(out, "curated")).collect()
+        )
+    assert outs[False] == outs[True]
+    assert all(i >= 10 for i in outs[False])
