@@ -484,6 +484,10 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # set is scanned, never shuffled; the filter would be built
         # once and reused across batches on a real deployment.
         done = spark.read.parquet(args.done_digests).select("digest")
+        # a pre-existing `digest` column on the docs would make the
+        # rename below ambiguous — the funnel's digest is its own
+        if "digest" in exact.columns:
+            exact = exact.drop("digest")
         keyed = exact.withColumn("_digest", F.md5(F.col("text")))
         if getattr(args, "done_bloom", False):
             from .operators.bloom import bloom_anti_join, build_bloom

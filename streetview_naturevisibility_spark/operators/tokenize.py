@@ -37,7 +37,9 @@ def corpus_word_freqs(
     ASCII-only, so a JVM regexp_extract_all twin would disagree on
     unicode words); each Arrow batch emits its partial Counter, then
     one word-keyed shuffle sums the partials (map-side combine on
-    batch-local counts)."""
+    batch-local counts). ``sample_docs=0`` means the FULL corpus —
+    only sensible when the distinct-word table is known to be small
+    (tests); production training stays sample-bounded."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
