@@ -216,6 +216,42 @@ def main() -> None:
     }
     assert int(r.kept) <= n - n // 20, "planted lorem-ipsum docs survived c4"
 
+    # C4 span dedup at 1M docs: every even doc opens with the SAME
+    # aligned 3-sentence span (500k instances -> all but the global
+    # first removed); odd docs carry unique spans.
+    from streetview_naturevisibility_spark.operators.textops import (
+        span_dedup_c4,
+    )
+
+    shared = "Shared one here. Shared two here. Shared three here."
+    span_docs = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit(shared + " Unique tail "), F.col("doc_id"), F.lit(".")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("Own one "), F.col("doc_id"),
+                F.lit(". Own two here. Own three here. Tail."),
+            )
+        )
+        .alias("text"),
+    )
+    t0 = time.perf_counter()
+    r = span_dedup_c4(span_docs).agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_removed").alias("removed"),
+    ).collect()[0]
+    results["span_dedup_c4"] = {
+        "wall_s": round(time.perf_counter() - t0, 2),
+        "rows": r.rows,
+        "spans_removed": int(r.removed),
+    }
+    assert int(r.removed) == n // 2 - 1, int(r.removed)
+
     # BPE: train once on a 10k-doc sample (driver-side, bounded), then
     # count subwords over the full 1M — the map-only hot path.
     from streetview_naturevisibility_spark.operators.tokenize import (

@@ -1547,3 +1547,124 @@ def c4_clean(
     return df.select(
         F.col(id_col), F.inline(F.transform(F.array(lines_expr), _row))
     )
+
+
+def span_dedup_c4(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_sents: int = 3,
+) -> DataFrame:
+    """C4's companion dedup (Raffel et al. 2020 §2.2: "we removed all
+    but one of any three-sentence span occurring more than once"):
+    sentences are delimited by a terminal-punctuation run followed by
+    whitespace, grouped into non-overlapping ``n_sents`` spans; every
+    span whose content occurs more than once in the corpus is removed
+    from every occurrence EXCEPT the globally-first one (min packed
+    (doc_id, span_pos) — the same canonical rule and grid-alignment
+    boundary as ``chunk_dedup``, stated on sentence units instead of
+    characters). The trailing partial span (< n_sents sentences) is
+    protected like chunk_dedup's tail.
+
+    -> (id_col, text_deduped, n_spans, n_removed); NULL text -> NULL.
+    Inter-sentence whitespace is normalized to one space in the
+    rebuilt text (the segmentation consumes it — C4's own pipeline
+    re-joins sentences the same way).
+
+    Physical shape — identical to chunk_dedup: ONE groupBy on
+    md5(span) carrying count + packed-min canonical, inner join back
+    (AQE broadcasts the duplicated set), per-doc kill sets, per-row
+    codegen HOF rebuild; the text never shuffles for the rebuild."""
+    n = int(n_sents)
+    if n < 1:
+        raise ValueError("n_sents must be >= 1")
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"span_dedup_c4 needs an integral {id_col!r} (fits 32 bits) "
+            f"for its packed (id, pos) canonical key; got {id_type}"
+        )
+    # sentence boundary = terminal-punct run + whitespace, marked with
+    # U+0001 via capture+backreference (RE2-compatible, so the DuckDB
+    # twin restates it verbatim — no lookbehind)
+    marked = F.regexp_replace(
+        F.col(text_col), "([.!?]+)\\s+", "$1\u0001"
+    )
+    sents = F.split(marked, "\u0001")
+    n_spans = F.floor(F.size(sents) / F.lit(n))
+
+    def _spans():
+        idx = F.sequence(F.lit(0).cast("long"), n_spans - 1)
+        mk = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice(sents, (i * n + 1).cast("int"), n)
+            ),
+        )
+        return F.when(n_spans >= 1, mk).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    spans = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_spans()).alias("pos", "span"),
+        )
+        .select("id", "pos", F.md5("span").alias("sk"))
+    )
+    dup = (
+        spans.groupBy("sk")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(
+                F.col("id") * F.lit(_CHUNK_PACK) + F.col("pos")
+            ).alias("_canon"),
+        )
+        .where(F.col("_n") > 1)
+        .select("sk", "_canon")
+    )
+    kills = (
+        spans.join(dup, "sk", "inner")
+        .where(
+            F.col("id") * F.lit(_CHUNK_PACK) + F.col("pos")
+            != F.col("_canon")
+        )
+        .groupBy("id")
+        .agg(F.collect_set("pos").alias("_kill"))
+    )
+    remainder = F.concat_ws(
+        " ",
+        F.slice(
+            sents,
+            (n_spans * n + 1).cast("int"),
+            (F.size(sents) - n_spans * n).cast("int"),
+        ),
+    )
+    kept_arr = F.filter(
+        _spans(),
+        lambda c, i: ~F.array_contains(
+            F.coalesce(F.col("_kill"), F.array().cast("array<int>")), i
+        ),
+    )
+    rebuilt = F.concat_ws(
+        " ",
+        F.filter(
+            F.concat(
+                F.array(F.array_join(kept_arr, " ")), F.array(remainder)
+            ),
+            lambda s: s != "",
+        ),
+    )
+    return df.join(
+        kills, F.col(id_col) == F.col("id"), "left"
+    ).select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNotNull(), rebuilt).alias("text_deduped"),
+        F.coalesce(n_spans, F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.size("_kill"), F.lit(0)).cast("long").alias("n_removed"),
+    )

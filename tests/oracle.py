@@ -1056,3 +1056,70 @@ def duckdb_c4_clean(
     ).df()
     con.close()
     return out
+
+
+def duckdb_span_dedup_c4(docs: pd.DataFrame, n_sents: int = 3) -> pd.DataFrame:
+    """ANSI-SQL twin of operators/textops.span_dedup_c4 (C4 §2.2
+    three-sentence-span dedup): sentence boundary = terminal-punct run
+    + whitespace (capture+backreference marker, same RE2-safe regex),
+    non-overlapping n-sentence grid spans, keep the global min packed
+    (doc_id, pos) instance of every duplicated span, remainder
+    protected, rebuild joined with single spaces."""
+    import duckdb
+
+    n = int(n_sents)
+    con = duckdb.connect()
+    con.register("docs", docs)
+    out = con.sql(
+        f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(text, '([.!?]+)\\s+',
+                              '\\1' || chr(1), 'g'), chr(1)) AS sents
+          FROM docs WHERE text IS NOT NULL),
+        g AS (
+          SELECT doc_id, sents, len(sents) // {n} AS n_spans FROM d),
+        sp AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(sents[i*{n}+1 : i*{n}+{n}], ' ') AS span
+          FROM g, UNNEST(generate_series(0, n_spans - 1)) AS t(i)),
+        dup AS (
+          SELECT md5(span) AS sk,
+                 min(doc_id * 2147483648 + pos) AS canon
+          FROM sp GROUP BY 1 HAVING count(*) > 1),
+        kills AS (
+          SELECT sp.doc_id, sp.pos
+          FROM sp JOIN dup ON md5(sp.span) = dup.sk
+          WHERE sp.doc_id * 2147483648 + sp.pos != dup.canon),
+        kept AS (
+          SELECT sp.* FROM sp ANTI JOIN kills
+          USING (doc_id, pos)),
+        reb AS (
+          SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS spans_text
+          FROM kept GROUP BY doc_id),
+        rem AS (
+          SELECT doc_id, n_spans,
+                 array_to_string(sents[n_spans*{n}+1 : len(sents)], ' ')
+                   AS remainder
+          FROM g),
+        nk AS (
+          SELECT doc_id, count(*) AS n_removed FROM kills GROUP BY doc_id)
+        SELECT docs.doc_id,
+          CASE WHEN docs.text IS NULL THEN NULL
+               -- array_to_string([]) is NULL in DuckDB; Spark's
+               -- concat_ws over an empty array is '' — align
+               ELSE coalesce(array_to_string(list_filter(
+                 [coalesce(reb.spans_text, ''), coalesce(rem.remainder, '')],
+                 x -> x <> ''), ' '), '')
+          END AS text_deduped,
+          coalesce(rem.n_spans, 0) AS n_spans,
+          coalesce(nk.n_removed, 0) AS n_removed
+        FROM docs
+        LEFT JOIN rem ON docs.doc_id = rem.doc_id
+        LEFT JOIN reb ON docs.doc_id = reb.doc_id
+        LEFT JOIN nk  ON docs.doc_id = nk.doc_id
+        ORDER BY docs.doc_id
+        """
+    ).df()
+    con.close()
+    return out

@@ -550,3 +550,81 @@ def test_cli_curate_done_set(spark, tmp_path, capsys):
         )
     assert outs[False] == outs[True]
     assert all(i >= 10 for i in outs[False])
+
+
+# --------------------------------------------------- C4 span dedup
+def _span_corpus():
+    def s(tag, k):
+        return f"Sentence {tag}{k} has words."
+
+    shared = " ".join(s("x", k) for k in range(3))  # one full shared span
+    rows = [
+        # doc 0: canonical first occurrence (pos 0) + own span
+        (0, shared + " " + " ".join(s("a", k) for k in range(3))),
+        # doc 1: same span at an ALIGNED grid slot (pos 1) -> killed
+        (1, " ".join(s("b", k) for k in range(3)) + " " + shared),
+        # doc 2: same sentences but shifted one sentence off the grid
+        # -> NOT caught (the documented chunk-grid boundary)
+        (2, s("c", 0) + " " + shared + " " + s("c", 1) + " " + s("c", 2)),
+        # doc 3: within-doc repeat of its own span -> second killed
+        (3, " ".join(s("d", k) for k in range(3)) + " "
+            + " ".join(s("d", k) for k in range(3))),
+        # doc 4: trailing remainder identical to doc 5's -> protected
+        (4, " ".join(s("e", k) for k in range(3)) + " Tail one. Tail two."),
+        (5, " ".join(s("f", k) for k in range(3)) + " Tail one. Tail two."),
+        (6, None),
+        (7, ""),
+        (8, "Just two. Short ones."),
+    ]
+    return rows
+
+
+def test_span_dedup_c4_goldens_and_twin(spark):
+    from streetview_naturevisibility_spark.operators.textops import (
+        span_dedup_c4,
+    )
+    from tests.oracle import duckdb_span_dedup_c4
+
+    rows = _span_corpus()
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = span_dedup_c4(df).orderBy("doc_id").toPandas()
+    by = {r.doc_id: r for r in got.itertuples()}
+
+    assert "Sentence x0" in by[0].text_deduped and by[0].n_removed == 0
+    # doc 1: aligned duplicate killed, own span survives
+    assert by[1].n_removed == 1 and "Sentence x0" not in by[1].text_deduped
+    assert "Sentence b0" in by[1].text_deduped
+    # doc 2: shifted off-grid -> untouched (documented boundary)
+    assert by[2].n_removed == 0 and "Sentence x0" in by[2].text_deduped
+    # doc 3: within-doc repeat -> exactly one instance survives
+    assert by[3].n_removed == 1
+    assert by[3].text_deduped.count("Sentence d0") == 1
+    # docs 4/5: identical 2-sentence remainders protected in both
+    assert by[4].n_removed == 0 and by[5].n_removed == 0
+    assert "Tail one. Tail two." in by[4].text_deduped
+    assert "Tail one. Tail two." in by[5].text_deduped
+    # NULL / empty / short
+    assert by[6].text_deduped is None
+    assert by[7].text_deduped == "" and by[7].n_spans == 0
+    assert by[8].n_spans == 0 and "Just two." in by[8].text_deduped
+
+    want = duckdb_span_dedup_c4(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    got2 = got.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for c in ("text_deduped", "n_spans", "n_removed"):
+        g = [None if pd.isna(v) else v for v in got2[c]]
+        w = [None if pd.isna(v) else v for v in want[c]]
+        assert g == w, c
+
+
+def test_span_dedup_c4_rejects_string_ids(spark):
+    from streetview_naturevisibility_spark.operators.textops import (
+        span_dedup_c4,
+    )
+
+    df = spark.createDataFrame([("a", "One. Two. Three. ")],
+                               "doc_id: string, text: string")
+    with pytest.raises(TypeError):
+        span_dedup_c4(df)

@@ -733,6 +733,31 @@ def main() -> None:
         )
     )
 
+    # 25. C4 span dedup: one md5(span) digest aggregate carries count +
+    # packed-min canonical; join-back hash-based; codegen HOF rebuild —
+    # the chunk_dedup shape on sentence units
+    from streetview_naturevisibility_spark.operators.textops import (
+        span_dedup_c4,
+    )
+
+    q25 = span_dedup_c4(docs)
+    p25 = plan_of(q25)
+    ok25, n25 = check(
+        "span_dedup_c4 digest-agg shape",
+        p25,
+        must=["HashAggregate", "md5"],
+        must_not=["SortMergeJoin", "CartesianProduct", "Python"],
+    )
+    sections.append(
+        (
+            "C4 three-sentence-span dedup: digest agg + codegen rebuild",
+            q25,
+            p25,
+            ok25,
+            n25,
+        )
+    )
+
     all_ok = all(s[3] for s in sections)
 
     out = ["# EXPLAIN audit — physical plans of the engine hot paths\n"]
