@@ -348,6 +348,23 @@ def cmd_curate(args: argparse.Namespace) -> None:
             f"{args.chunk_dedup}-char chunk instances"
         )
 
+    if getattr(args, "span_dedup", None):
+        # C4 §2.2 companion: remove all but the globally-first
+        # occurrence of any n-sentence span (sentence-unit analog of
+        # the chunk grid; pairs naturally with --c4)
+        from .operators.textops import span_dedup_c4
+
+        sd_out = span_dedup_c4(docs, n_sents=args.span_dedup)
+        n_spans_removed = sd_out.agg(F.sum("n_removed")).collect()[0][0] or 0
+        docs = docs.drop("text").join(
+            sd_out.select("doc_id", F.col("text_deduped").alias("text")),
+            "doc_id",
+        )
+        print(
+            f"[span] removed={n_spans_removed} duplicated "
+            f"{args.span_dedup}-sentence span instances"
+        )
+
     if getattr(args, "chunk_dedup_cdc", None):
         # alignment-free substring dedup: content-defined token chunks
         # (boundaries from the token hash, so repeats match at ANY
@@ -371,6 +388,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         or getattr(args, "para_dedup", False)
         or getattr(args, "chunk_dedup", None)
         or getattr(args, "chunk_dedup_cdc", None)
+        or getattr(args, "span_dedup", None)
     ):
         # cut the text-rewrite lineage before the scoring stages: every
         # downstream stage otherwise replans the full fix/para/chunk
@@ -788,6 +806,15 @@ def main() -> None:
         "defined token chunks (boundary after tokens hashing to bucket "
         "0 of AVG_TOKENS) so repeated passages match at any position; "
         "composes with --chunk-dedup (grid pass runs first)",
+    )
+    pc.add_argument(
+        "--span-dedup",
+        type=int,
+        default=None,
+        metavar="N_SENTS",
+        help="C4-style span dedup before scoring: remove all but the "
+        "globally-first occurrence of any N_SENTS-sentence span "
+        "(C4 pairs this with --c4; 3 is the paper's value)",
     )
     pc.add_argument(
         "--token-budget",

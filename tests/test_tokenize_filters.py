@@ -628,3 +628,42 @@ def test_span_dedup_c4_rejects_string_ids(spark):
                                "doc_id: string, text: string")
     with pytest.raises(TypeError):
         span_dedup_c4(df)
+
+
+def test_cli_curate_span_dedup(spark, tmp_path, capsys):
+    """curate --c4 --span-dedup 3: the shared three-sentence opener is
+    removed from every doc but the global first."""
+    import argparse
+    import os
+
+    from streetview_naturevisibility_spark import cli
+
+    shared = "Shared open one. Shared open two. Shared open three."
+    rows = [
+        (i, shared + " " + " ".join(
+            f"Body {i} sentence {j} stays here." for j in range(5)))
+        for i in range(20)
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id: long, text: string").write.parquet(src)
+    out = str(tmp_path / "cur")
+    args = argparse.Namespace(
+        master="local[4]",
+        docs=src,
+        out=out,
+        min_quality=0.0,
+        jaccard=0.5,
+        max_bucket=10_000,
+        sample=None,
+        default_rate=1.0,
+        c4=True,
+        c4_min_words=3,
+        c4_min_sentences=5,
+        span_dedup=3,
+    )
+    cli.cmd_curate(args)
+    text = capsys.readouterr().out
+    assert "[span] removed=19" in text, text
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    n_with_shared = cur.where(F.col("text").contains("Shared open one")).count()
+    assert n_with_shared == 1
