@@ -607,15 +607,33 @@ def pack_assignments(
     """
     from pyspark.sql import Window
 
+    # whitespace token count without building the token array:
+    # size(split(s, " ")) == spaces + 1 exactly (Spark keeps trailing
+    # empty fields), and counting spaces is one translate + two
+    # lengths — same value for every input incl. NULL/empty (r7)
     tok = (
         F.col(tokens_col)
         if tokens_col
-        else F.size(F.split(F.col(text_col), " "))
+        else F.length(text_col)
+        - F.length(F.translate(F.col(text_col), " ", ""))
+        + F.lit(1)
     )
+    # bin_id depends only on the GLOBAL exclusive prefix sum, which is
+    # invariant to the decomposition span — subdivide the caller's span
+    # so the within-bucket window sort parallelizes across ~8x more
+    # partitions (r7: 1M rows / span 100k gave only 10-way parallelism
+    # on 32 cores; results are identical for any span by construction)
+    eff_span = max(1, int(bucket_span) // 8)
+    # the (id, tokens, bucket) proxy is ~24 bytes/row — materialize it
+    # once (eager localCheckpoint) so the per-bucket totals pass and
+    # the window pass don't each re-evaluate the upstream lineage
+    # (guide §8: decide with small rows; compute happens at call time)
     base = df.select(
         F.col(id_col).alias("id"),
         F.coalesce(tok.cast("long"), F.lit(0)).alias("_t"),
-    ).withColumn("_bk", F.floor(F.col("id") / F.lit(int(bucket_span))))
+    ).withColumn(
+        "_bk", F.floor(F.col("id") / F.lit(eff_span))
+    ).localCheckpoint(eager=True)
     totals = base.groupBy("_bk").agg(F.sum("_t").alias("_bt"))
     w_tot = Window.orderBy("_bk").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(

@@ -48,6 +48,11 @@ from pyspark.sql.types import LongType
 # systematic-recall audit: 4/28 strong pairs missed where LSH theory
 # allows ~0.1).
 _MINHASH_MOD = 1 << 32
+# r7: every mod in the minhash path is a power of two over non-negative
+# (or two's-complement) operands, so `pmod(x, 2^32)` == `x & (2^32-1)`
+# bit-for-bit — one AND instead of a division per op (guide §1.2 step 2:
+# per-task work).
+_MIX_MASK_V = (1 << 32) - 1
 
 
 def _perm_params(k: int) -> list[tuple[int, int]]:
@@ -123,9 +128,11 @@ def shingle_hash(s, method: str = "xxhash64"):
     ``CAST('0x' || substring(md5(s), 1, 15) AS BIGINT)`` — used by the
     oracle-exact contract variant of the LSH pipeline."""
     if method == "xxhash64":
-        return F.pmod(F.xxhash64(s), F.lit(1 << 32))
-    return F.pmod(
-        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(1 << 32)
+        return F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(F.lit((1 << 32) - 1))
     )
 
 
@@ -157,7 +164,9 @@ def tokenmix_shingle_hashes(text_col: str, n: int = 3):
         )
 
     toks = F.split(F.col(text_col), " ")
-    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(1 << 32)))
+    th = F.transform(
+        toks, lambda t: F.xxhash64(t).bitwiseAND(F.lit((1 << 32) - 1))
+    )
 
     def _windows(thv):
         idx = F.sequence(
@@ -171,7 +180,9 @@ def tokenmix_shingle_hashes(text_col: str, n: int = 3):
                 # than n tokens) must yield NULL->0, and plain
                 # element_at THROWS under ANSI mode (Spark 4 default)
                 e = F.coalesce(F.try_element_at(thv, i + F.lit(j)), F.lit(0))
-                acc = F.pmod(acc + F.pmod(e * F.lit(c), F.lit(_MINHASH_MOD)), F.lit(_MINHASH_MOD))
+                acc = (
+                    acc + (e * F.lit(c)).bitwiseAND(F.lit(_MIX_MASK_V))
+                ).bitwiseAND(F.lit(_MIX_MASK_V))
             return acc
 
         return F.array_distinct(F.transform(idx, _mix))
@@ -205,24 +216,52 @@ def minhash_signatures(
     times per shingle. The single aggregate references ``hs`` once, so
     each shingle is hashed once and the per-permutation work is k
     integer ops inside the accumulator ``zip_with``."""
+    base = minhash_shingle_frame(df, text_col, id_col, n, hash_method)
+    return minhash_signatures_from_shingles(base, k, hash_method)
+
+
+def minhash_shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    hash_method: str = "xxhash64",
+) -> DataFrame:
+    """(id, sh) — the per-doc distinct shingle set each LSH stage
+    consumes: 32-bit hash arrays for ``tokenmix``, shingle strings
+    otherwise. Split out of ``minhash_signatures`` so the pipeline can
+    materialize it ONCE and share it between the signature stage and
+    the Jaccard verify stage (both need exactly this array)."""
     if hash_method == "tokenmix":
-        base = df.select(
-            F.col(id_col).alias("id"),
-            tokenmix_shingle_hashes(text_col, n).alias("hs"),
-        )
+        sh = tokenmix_shingle_hashes(text_col, n)
     else:
-        sh = shingles_col(text_col, n).alias("sh")
-        hashes = F.transform(
-            F.col("sh"), lambda s: shingle_hash(s, hash_method)
-        ).alias("hs")
-        base = df.select(F.col(id_col).alias("id"), sh).select("id", hashes)
+        sh = shingles_col(text_col, n)
+    return df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+
+
+def minhash_signatures_from_shingles(
+    base: DataFrame, k: int, hash_method: str
+) -> DataFrame:
+    """(id, minhash) from a ``minhash_shingle_frame`` output."""
+    if hash_method == "tokenmix":
+        base = base.select("id", F.col("sh").alias("hs"))
+    else:
+        base = base.select(
+            "id",
+            F.transform(
+                F.col("sh"), lambda s: shingle_hash(s, hash_method)
+            ).alias("hs"),
+        )
     perms = _perm_params(k)
     # sentinel above the modulus: any real (a*h+b) mod 2^32 beats it
     init = F.array(*[F.lit(1 << 33).cast("long") for _ in range(k)])
 
     def _merge(acc, h):
         cand = F.array(
-            *[F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MINHASH_MOD)) for a, b in perms]
+            *[
+                (h * F.lit(a) + F.lit(b)).bitwiseAND(F.lit(_MIX_MASK_V))
+                for a, b in perms
+            ]
         )
         return F.zip_with(acc, cand, lambda x, y: F.least(x, y))
 
@@ -261,7 +300,22 @@ def minhash_lsh_pairs(
             "silently changes the (k, bands) probability curve"
         )
     rows = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k, n, hash_method)
+    # r7 restructure (guide §2.4 remove shuffles / §1.2 algorithm
+    # first): the upstream lineage used to be re-evaluated ~5x per
+    # action — the bucket self-join evaluates its subtree twice, the
+    # cap-size aggregate a third time, and the two verify joins
+    # re-shingled the whole corpus twice more. Now the per-doc shingle
+    # frame is materialized ONCE (eager localCheckpoint — raw row
+    # blocks, ContextCleaner-reclaimed) and shared by the signature
+    # stage AND the verify stage (tokenmix verifies over exactly the
+    # same hash arrays the signatures fold); the exploded band-bucket
+    # frame is materialized once more so the self-join + cap sizes
+    # read blocks instead of recomputing the k-permutation fold.
+    # Compute happens at CALL time (the knn_snap precedent).
+    sh_frame = minhash_shingle_frame(
+        df, text_col, id_col, n, hash_method
+    ).localCheckpoint(eager=True)
+    sig = minhash_signatures_from_shingles(sh_frame, k, hash_method)
     band_cols = []
     for b in range(bands):
         band = F.slice(F.col("minhash"), b * rows + 1, rows)
@@ -275,7 +329,9 @@ def minhash_lsh_pairs(
         band_cols.append(F.struct(F.lit(b).alias("band"), bh.alias("bh")))
     buckets = sig.select(
         "id", F.explode(F.array(*band_cols)).alias("bk")
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    ).localCheckpoint(eager=True)
     buckets, metrics = _cap_buckets(buckets, ["band", "bh"], max_bucket)
 
     a = buckets.alias("a")
@@ -287,39 +343,28 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    # Default verify: shingle every doc once and join candidates to it
-    # — ONE evaluation of the candidate subtree, one corpus-wide
-    # shingle pass (the signature stage already paid one; this is the
-    # second). verify_prefilter=True instead materializes the (assumed
-    # small) candidate set eagerly and BROADCAST-semi-joins the corpus
-    # down to candidate members before shingling — no corpus shuffle at
-    # all, but only pays off when the duplicate fraction is small
-    # enough for the member-id set to broadcast; measured SLOWER at
-    # contract scale (extra job boundaries), so it is opt-in.
-    sh_src = df.select(F.col(id_col).alias("id"), F.col(text_col))
-    if verify_prefilter:
-        cand = cand.localCheckpoint(eager=True)
-        cand_ids = (
-            cand.select(F.col("id_a").alias("id"))
-            .union(cand.select(F.col("id_b").alias("id")))
-            .distinct()
-        )
-        sh_src = sh_src.join(F.broadcast(cand_ids), "id", "left_semi")
-    # tokenmix verify compares the distinct shingle-HASH sets (no
-    # shingle strings built on the verify pass either): Jaccard over
-    # 32-bit hash sets equals Jaccard over shingle sets up to a ~2^-32
-    # per-pair collision probability — the standard trade for the fast
-    # path; the md5 oracle path verifies over exact shingle strings.
-    sh_expr = (
-        tokenmix_shingle_hashes(text_col, n)
-        if hash_method == "tokenmix"
-        else shingles_col(text_col, n)
-    )
-    sh = sh_src.select("id", sh_expr.alias("sh"))
+    # Verify joins read the checkpointed shingle frame — no upstream
+    # re-evaluation, no second corpus-wide shingle pass. The candidate
+    # set is materialized (it is consumed by both verify joins) and,
+    # when small, broadcast into them so the shingle frame is never
+    # shuffled (guide §3.1; a checkpointed frame carries no size
+    # statistics, so Catalyst would otherwise pick a sort-merge join).
+    # verify_prefilter is retired to a no-op alias: the checkpointed
+    # shingle frame already gives the one-pass behavior it bought.
+    del verify_prefilter
+    cand = cand.localCheckpoint(eager=True)
+    small_cand = cand.count() <= 5_000_000
+    sh = sh_frame
+    sh_a = sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a")
+    sh_b = sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b")
+    j1 = sh_a.join(F.broadcast(cand) if small_cand else cand, "id_a")
     verified = (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
+        sh_b.join(F.broadcast(j1), "id_b")
+        if small_cand
+        else j1.join(sh_b, "id_b")
+    )
+    verified = (
+        verified.withColumn("jaccard", jaccard_col(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jaccard") >= F.lit(jaccard_threshold))
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )

@@ -675,7 +675,15 @@ def semantic_dedup(
         pair_sim = pairwise_cosine_col(F.col("a.v"), F.col("b.v"))
         materialize = False
     if materialize:
-        s = s.persist()
+        # r7: localCheckpoint instead of persist — the assignment frame
+        # is materialized ONCE as raw row blocks and every consumer
+        # (cap sizes, pair stage, output join) reads them; the former
+        # persist/unpersist lifecycle recomputed the 1M x n_lists Arrow
+        # matmul once more for the output action, and the columnar
+        # cache build itself costs ~4x a block write for array columns
+        # (measured on the dsir bucket arrays). Blocks are reclaimed by
+        # the ContextCleaner when the returned frame is dropped.
+        s = s.localCheckpoint(eager=True)
     capped, metrics = _cap_buckets(s, ["list_id"], max_cluster)
     a, b = capped.alias("a"), capped.alias("b")
     better = (
@@ -703,16 +711,25 @@ def semantic_dedup(
             .select(F.col("a.id").alias("id"))
             .distinct()
         )
+    dup_flag = dominated.withColumn("_dup", F.lit(True))
     if materialize:
-        # knn lifecycle: the (small, dup-ids-only) frame is eagerly
-        # checkpointed to cut lineage, then the assignment cache is
-        # released — the output's action recomputes the Arrow matmul
-        # exactly once more, and a long-lived session leaks nothing.
-        # Note this makes the dedup compute at CALL time.
+        # the (small, dup-ids-only) frame is eagerly checkpointed so
+        # repeated consumer actions don't re-run the pair stage. Note
+        # this makes the dedup compute at CALL time. When the dup set
+        # is genuinely small (it is checkpointed, so the count is
+        # free), broadcast it so the kept-flag attach never shuffles
+        # the assignment frame (guide §3.1) — a checkpointed frame has
+        # no size statistics, so Catalyst would otherwise sort-merge.
         dominated = dominated.localCheckpoint(eager=True)
-        s.unpersist()
+        dup_flag = dominated.withColumn("_dup", F.lit(True))
+        if dominated.count() <= 10_000_000:
+            dup_flag = F.broadcast(dup_flag)
     out = (
-        s.join(dominated.withColumn("_dup", F.lit(True)), ["id"], "left")
+        s.join(
+            dup_flag,
+            ["id"],
+            "left",
+        )
         .select(
             F.col("id").alias(id_col),
             "list_id",

@@ -71,7 +71,20 @@ def quality_score_cols(text_col: str) -> dict[str, F.Column]:
     n_tokens = F.size(toks).cast("double")
     n_chars = F.length(text_col).cast("double")
     mean_tok = (n_chars - (n_tokens - 1)) / n_tokens
-    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    # alpha count via translate (delete all 52 letters, diff lengths):
+    # a per-char table lookup instead of a regex engine pass — same
+    # value for every input incl. NULL (r7, measured 1.33 s -> 0.85 s
+    # per 1M-doc pass; this expression runs in EVERY funnel lineage
+    # re-evaluation)
+    import string as _string
+
+    alpha_chars = F.length(text_col) - F.length(
+        F.translate(
+            F.col(text_col),
+            _string.ascii_lowercase + _string.ascii_uppercase,
+            "",
+        )
+    )
     alpha_ratio = alpha_chars / n_chars
     distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
 
@@ -103,7 +116,14 @@ def quality_score_cols(text_col: str) -> dict[str, F.Column]:
 def token_count_col(text_col: str, mode: str = "whitespace"):
     """Token counting: whitespace or BPE-ish (regexp word/punct pieces)."""
     if mode == "whitespace":
-        return F.size(F.split(F.col(text_col), " ")).cast("long")
+        # == size(split(s, " ")) exactly (split keeps trailing empty
+        # fields, so fields = spaces + 1; NULL propagates) without
+        # building the token array — translate + two lengths (r7)
+        return (
+            F.length(text_col)
+            - F.length(F.translate(F.col(text_col), " ", ""))
+            + F.lit(1)
+        ).cast("long")
     # BPE-ish: count word pieces + digits + punctuation separately
     pieces = F.regexp_extract_all(
         F.col(text_col), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
@@ -164,20 +184,23 @@ def fingerprint_col(text_col: str, window: int = 8):
     (fingerprint_udf); same winnowing semantics, smaller hash domain."""
     from ..functions.hof import let_col
 
-    mod = F.lit(1 << FP_MOD_BITS)
+    # power-of-two modulus over non-negative operands: pmod == bitwise
+    # AND with (mod-1), bit-for-bit (r7 — one AND instead of a division
+    # per token and per fold step)
+    mask = F.lit((1 << FP_MOD_BITS) - 1)
     toks = F.split(F.col(text_col), " ")
     hs = F.transform(
         toks,
-        lambda t: F.pmod(
-            F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), mod
-        ),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10)
+        .cast("long")
+        .bitwiseAND(mask),
     )
 
     def _roll(run):
         return F.aggregate(
             run,
             F.lit(0).cast("long"),
-            lambda acc, h: F.pmod(acc * F.lit(FP_BASE) + h, mod),
+            lambda acc, h: (acc * F.lit(FP_BASE) + h).bitwiseAND(mask),
         )
 
     # let-bind hs: the per-window slices and the size() bound would
@@ -1128,46 +1151,150 @@ def dsir_score(
     features and are ABSENT (callers left-join and decide — same
     contract as score_bigram_logprob).
 
-    Scale shape: both count tables are <= ``n_buckets`` rows and
-    broadcast; the 1-row totals broadcast-crossJoin in (no eager
-    count). The corpus explodes to ~2x its token count and shuffles
-    ONCE (the per-doc sum). The weight is a floating-point sum whose
-    partial-aggregation order Spark does not fix — compare rounded
-    (the engine rounds to 6; selection ties then break by id).
+    Scale shape (r7 rewrite — guide §2.3/§2.4 "shuffle keys, not
+    payloads" + §3.1 broadcast): the per-bucket log-ratio depends only
+    on the bucket id, so the whole weight table is ``n_buckets``
+    doubles. The corpus's bucket arrays are computed ONCE (persisted
+    across the raw-count pass and the scoring pass — the md5 feature
+    hashing is the dominant cost and previously ran twice), the
+    ``lw`` table is collected driver-side (bounded by ``n_buckets``,
+    computed IN the JVM via ``F.log`` so every double is bit-identical
+    to the former per-row expression) and shipped back as ONE array
+    literal; scoring is then a map-only ``aggregate`` over each doc's
+    bucket array — the 2x-token-count explode, both broadcast hash
+    joins and the per-doc shuffle are gone (plan: zero Exchange on the
+    corpus side). Per-doc sum order is unchanged (array order — the
+    old explode + partial hash agg summed in exactly that order), so
+    results are bit-equal, not just round-6 equal. The bucket-array
+    frame is eagerly localCheckpoint-ed (raw row blocks, reclaimed by
+    the ContextCleaner when the returned frame is dropped) so both the
+    count pass and every consumer action read it without re-hashing;
+    compute happens at call time (the knn_snap precedent).
     """
-    if raw is None:
-        raw = docs.select(text_col)
-    ct, tt = ngram_bucket_counts(target, text_col, n_buckets)
-    cr, tr = ngram_bucket_counts(raw, text_col, n_buckets)
-    feats = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(hashed_ngram_buckets_col(text_col, n_buckets)).alias("b"),
+    spark = docs.sparkSession
+    bs_col = hashed_ngram_buckets_col(text_col, n_buckets)
+    if int(n_buckets) <= (1 << 31) - 1:
+        # buckets < n_buckets always fit int32: halve the materialized
+        # array and Arrow bytes (guide §2.3 narrower types)
+        bs_col = F.transform(bs_col, lambda b: b.cast("int"))
+    bs_frame = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"), bs_col.alias("_bs")
+    )
+    reuse_bs = raw is None
+    if reuse_bs:
+        # materialized ONCE as raw row blocks (localCheckpoint — the
+        # columnar .persist() cache build measured ~4x the block write
+        # for this array column); both the count pass and the scoring
+        # pass read it, so the md5 feature hashing runs once
+        bs_frame = bs_frame.localCheckpoint(eager=True)
+        # vectorized partial counts (guide §4.2): one np.bincount per
+        # Arrow batch and ONE 10k-row partial per task instead of a
+        # 79M-row Generate + per-row hash aggregate (measured 8.2 s ->
+        # 2.3 s net at 1M docs x ~79 features). Exact integer counts —
+        # bit-identical to the explode + groupBy it replaces. Guarded
+        # to small bucket spaces (the count vector is materialized per
+        # task); DSIR's published config is 10k buckets.
+        if int(n_buckets) <= (1 << 22):
+            from typing import Iterator
+
+            nb = int(n_buckets)
+
+            def _bincount(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                acc = np.zeros(nb, dtype=np.int64)
+                seen = False
+                for pdf in it:
+                    if len(pdf):
+                        seen = True
+                        flat = np.concatenate(
+                            [np.asarray(a, dtype=np.int64) for a in pdf["_bs"]]
+                        )
+                        if flat.size:
+                            acc += np.bincount(flat, minlength=nb)
+                if seen:
+                    yield pd.DataFrame({"b": np.arange(nb), "c": acc})
+
+            cr = (
+                bs_frame.select("_bs")
+                .mapInPandas(_bincount, "b long, c long")
+                .groupBy("b")
+                .agg(F.sum("c").alias("c"))
+                .where(F.col("c") > 0)
+            )
+        else:
+            cr = (
+                bs_frame.select(F.explode("_bs").alias("b"))
+                .groupBy("b")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+    else:
+        cr, _ = ngram_bucket_counts(raw, text_col, n_buckets)
+    ct, _ = ngram_bucket_counts(target, text_col, n_buckets)
+    # bounded collects (<= n_buckets rows each); totals recomposed
+    # driver-side as exact integer sums — no extra pass over either
+    # corpus for the 1-row total frames
+    ct_rows = {int(r.b): int(r.c) for r in ct.collect()}
+    cr_rows = {int(r.b): int(r.c) for r in cr.collect()}
+    tt, tr_ = sum(ct_rows.values()), sum(cr_rows.values())
+    nb = int(n_buckets)
+    counts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "b": np.arange(nb, dtype=np.int64),
+                "ct": np.array(
+                    [ct_rows.get(b, 0) for b in range(nb)], dtype=np.int64
+                ),
+                "cr": np.array(
+                    [cr_rows.get(b, 0) for b in range(nb)], dtype=np.int64
+                ),
+            }
+        )
     )
     kB = F.lit(float(k)) * F.lit(float(n_buckets))
-    j = (
-        feats.join(F.broadcast(ct.withColumnRenamed("c", "ct")), ["b"], "left")
-        .join(F.broadcast(cr.withColumnRenamed("c", "cr")), ["b"], "left")
-        .crossJoin(F.broadcast(tt))
-        .crossJoin(F.broadcast(tr.withColumnRenamed("_T", "_Tr")))
-        .withColumn(
-            "lw",
-            F.log(
-                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(float(k)))
-                / (F.col("_T").cast("double") + kB)
-            )
-            - F.log(
-                (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(float(k)))
-                / (F.col("_Tr").cast("double") + kB)
+    # the whole weight table as ONE b-ordered array in a 1-row frame,
+    # broadcast into the scoring projection. It never leaves the JVM
+    # (a 10k-double Python literal costs seconds of py4j round trips)
+    # and the doubles come from the same F.log codegen as the old
+    # per-row expression — bit-identical.
+    lw_one_row = counts.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("b"),
+                        (
+                            F.log(
+                                (F.col("ct") + F.lit(float(k)))
+                                / (F.lit(tt).cast("double") + kB)
+                            )
+                            - F.log(
+                                (F.col("cr") + F.lit(float(k)))
+                                / (F.lit(tr_).cast("double") + kB)
+                            )
+                        ).alias("lw"),
+                    )
+                )
             ),
-        )
+            lambda s: s["lw"],
+        ).alias("_lw")
     )
-    return (
-        j.groupBy("id")
-        .agg(
-            F.round(F.sum("lw"), 6).alias("dsir_logweight"),
-            F.count(F.lit(1)).alias("n_feats"),
-        )
-        .select(F.col("id").alias(id_col), "dsir_logweight", "n_feats")
+    # scoring is a pure projection over the checkpointed bucket arrays
+    # — no further materialization needed (consumers read the blocks)
+    return bs_frame.crossJoin(F.broadcast(lw_one_row)).select(
+        F.col("id").alias(id_col),
+        F.round(
+            F.aggregate(
+                F.transform(
+                    "_bs",
+                    lambda b: F.element_at(
+                        F.col("_lw"), b.cast("int") + F.lit(1)
+                    ),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("dsir_logweight"),
+        F.size("_bs").cast("long").alias("n_feats"),
     )
 
 
@@ -1195,7 +1322,10 @@ def dsir_select(
         .limit(int(n))
         .select(id_col, "dsir_logweight")
     )
-    return docs.join(top, [id_col])
+    # n rows by construction — broadcast so the corpus is never
+    # shuffled for the attach (guide §3.1; size estimates after a
+    # limit are unreliable, hint explicitly)
+    return docs.join(F.broadcast(top), [id_col])
 
 
 # ------------------------------------------------------------------

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.bpe import encode_text, pretokenize, train_bpe
+from ..functions.bpe import encode_text, encode_word, pretokenize, train_bpe
 
 
 def corpus_word_freqs(
@@ -85,6 +85,27 @@ def _ranks_bc(spark: SparkSession, merges: list[tuple[str, str]]):
     return spark.sparkContext.broadcast(ranks)
 
 
+# r7: cross-task distinct-word memo (guide §4.5 "state that is
+# expensive even per task"). Python workers are reused across tasks
+# (spark.python.worker.reuse default), and this module is importable on
+# executors, so a module-level cache survives between tasks and turns
+# the per-task re-encode of the hot vocabulary into dict hits. Keyed by
+# a fingerprint of the merge list (a new tokenizer invalidates the
+# cache); bounded — adversarial corpora with unbounded distinct words
+# (e.g. random-digit junk) would otherwise grow it without limit.
+_COUNT_CACHE: dict = {}
+_COUNT_CACHE_KEY: object = None
+_COUNT_CACHE_CAP = 2_000_000
+
+
+def _count_cache_for(key) -> dict:
+    global _COUNT_CACHE_KEY
+    if _COUNT_CACHE_KEY != key or len(_COUNT_CACHE) > _COUNT_CACHE_CAP:
+        _COUNT_CACHE.clear()
+        _COUNT_CACHE_KEY = key
+    return _COUNT_CACHE
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list[tuple[str, str]],
@@ -96,12 +117,13 @@ def bpe_encode(
     bc = _ranks_bc(df.sparkSession, merges)
 
     @F.pandas_udf("array<string>")
-    def enc(texts: pd.Series) -> pd.Series:
+    def enc(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         ranks = bc.value
-        cache: dict[str, tuple[str, ...]] = {}
-        return texts.map(
-            lambda t: None if t is None else encode_text(t, ranks, cache)
-        )
+        cache: dict[str, tuple[str, ...]] = {}  # per task (iterator form)
+        for batch in texts:
+            yield batch.map(
+                lambda t: None if t is None else encode_text(t, ranks, cache)
+            )
 
     return df.select(F.col(id_col), enc(F.col(text_col)).alias("tokens"))
 
@@ -115,14 +137,30 @@ def bpe_token_count(
     """Append a real subword count (packing/budget input). Same kernel
     as ``bpe_encode`` but only the length crosses Arrow back."""
     bc = _ranks_bc(df.sparkSession, merges)
+    key = hash(tuple(merges))
 
     @F.pandas_udf("long")
-    def cnt(texts: pd.Series) -> pd.Series:
+    def cnt(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # iterator form: the (broadcast deref + memo fetch) happens
+        # once per task, and the cross-task module memo keeps the hot
+        # vocabulary's subword counts across reused workers (§4.5)
         ranks = bc.value
-        cache: dict[str, tuple[str, ...]] = {}
-        return texts.map(
-            lambda t: 0 if t is None else len(encode_text(t, ranks, cache))
-        )
+        cache = _count_cache_for(key)
+
+        def n_tok(t):
+            if t is None:
+                return 0
+            total = 0
+            for w in pretokenize(t):
+                c = cache.get(w)
+                if c is None:
+                    c = len(encode_word(w, ranks))
+                    cache[w] = c
+                total += c
+            return total
+
+        for batch in texts:
+            yield batch.map(n_tok)
 
     return df.withColumn(out_col, cnt(F.col(text_col)))
 
@@ -188,14 +226,15 @@ def bpe_encode_ids(
     bc_v = spark.sparkContext.broadcast(vocab)
 
     @F.pandas_udf("array<int>")
-    def enc(texts: pd.Series) -> pd.Series:
+    def enc(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         ranks = bc_r.value
         v = bc_v.value
-        cache: dict[str, tuple[str, ...]] = {}
-        return texts.map(
-            lambda t: None
-            if t is None
-            else [v.get(s, unk) for s in encode_text(t, ranks, cache)]
-        )
+        cache: dict[str, tuple[str, ...]] = {}  # per task (iterator form)
+        for batch in texts:
+            yield batch.map(
+                lambda t: None
+                if t is None
+                else [v.get(s, unk) for s in encode_text(t, ranks, cache)]
+            )
 
     return df.select(F.col(id_col), enc(F.col(text_col)).alias("token_ids"))
