@@ -31,6 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ByteType,
+    IntegerType,
+    LongType,
+    ShortType,
+)
 
 from streetview_naturevisibility_spark.operators.dedup import shingles_col
 
@@ -131,6 +137,7 @@ def duplicate_clusters(
     id_b: str = "id_b",
     max_iters: int = 25,
     algorithm: str = "propagation",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list -> one row per
     member node: (doc_id, cluster_id, cluster_size), where cluster_id
@@ -157,6 +164,18 @@ def duplicate_clusters(
     The pair input is materialized ONCE (eager localCheckpoint): the
     upstream LSH pipeline is the expensive part and must not re-run
     per round.
+
+    r7 adaptive path: when the (checkpointed) edge set is small —
+    ``driver_max_edges`` rows, the broadcast-threshold idea applied to
+    CC — the components are closed with a driver-side union-find on
+    the collected edges (bounded collect, the kmeans_fit precedent)
+    instead of 3-5 distributed rounds of join+aggregate+checkpoint
+    jobs. Output is identical (min-id labels, member counts; integral
+    ids only — string ids keep the distributed path so byte-wise vs
+    codepoint min ordering can never diverge). Dedup graphs are pair-
+    member-sized, far smaller than the corpus, so real funnels at any
+    corpus scale usually take this path; pass ``driver_max_edges=0``
+    to force the distributed rounds.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -168,6 +187,50 @@ def duplicate_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    src_type = edges.schema["src"].dataType
+    integral = isinstance(src_type, (ByteType, ShortType, IntegerType, LongType))
+    if driver_max_edges and integral and edges.count() <= int(driver_max_edges):
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType
+
+        ep = edges.toPandas()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for s, d in zip(ep["src"].to_numpy(), ep["dst"].to_numpy()):
+            s, d = int(s), int(d)
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rd] = rs
+        comps: dict = {}
+        for node in parent:
+            comps.setdefault(find(node), []).append(node)
+        rows = []
+        for members in comps.values():
+            mn = min(members)
+            sz = len(members)
+            rows.extend((m, mn, sz) for m in members)
+        rows.sort()
+        out_pd = pd.DataFrame(rows, columns=["doc_id", "cluster_id", "cluster_size"])
+        schema = StructType(
+            [
+                StructField("doc_id", src_type),
+                StructField("cluster_id", src_type),
+                StructField("cluster_size", LongType()),
+            ]
+        )
+        return pairs.sparkSession.createDataFrame(out_pd, schema)
     if algorithm == "star":
         labels = _cc_star(edges, max_iters)
         sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))

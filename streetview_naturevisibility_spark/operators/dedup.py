@@ -53,6 +53,10 @@ _MINHASH_MOD = 1 << 32
 # bit-for-bit — one AND instead of a division per op (guide §1.2 step 2:
 # per-task work).
 _MIX_MASK_V = (1 << 32) - 1
+# buckets up to this many members expand their candidate pairs as one
+# in-row combination array (m^2/2 structs — 1024 members ~ 8 MB peak);
+# larger eligible buckets stream pairs through the classic self-join
+_PAIR_GEN_MAX = 1024
 
 
 def _perm_params(k: int) -> list[tuple[int, int]]:
@@ -239,10 +243,90 @@ def minhash_shingle_frame(
     return df.select(F.col(id_col).alias("id"), sh.alias("sh"))
 
 
+def _minhash_fold_kernel(k: int):
+    """Vectorized minhash fold for 32-bit shingle-HASH arrays (the
+    tokenmix path): per Arrow batch, one ``(flat * a_j + b_j) & mask``
+    sweep and a segment-min (``np.minimum.reduceat``) per permutation
+    — replacing the JVM ``aggregate``'s per-shingle 2x k-long array
+    allocations (guide §4.2). int64 arithmetic never exceeds 2^60
+    (h < 2^32, a < 2^28), so every value is bit-identical to the JVM
+    fold (pytest-pinned; measured 5.5 s -> 2.3 s on 950k docs x ~38
+    shingles at k=32). NULL shingle arrays -> NULL signature; empty
+    arrays -> the fold's init sentinel row, exactly like
+    ``F.aggregate``."""
+    from typing import Iterator
+
+    perms = _perm_params(k)
+    A = np.array([p[0] for p in perms], dtype=np.int64)
+    Bc = np.array([p[1] for p in perms], dtype=np.int64)
+    mask = np.int64(_MIX_MASK_V)
+    sentinel = np.int64(1 << 33)
+
+    def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            arrs = pdf["sh"].to_list()
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in arrs),
+                dtype=np.int64,
+                count=n,
+            )
+            flat = (
+                np.concatenate(
+                    [
+                        np.asarray(a, dtype=np.int64)
+                        for a in arrs
+                        if a is not None and len(a)
+                    ]
+                )
+                if lens.sum()
+                else np.empty(0, dtype=np.int64)
+            )
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            out = np.full((n, k), sentinel, dtype=np.int64)
+            nonempty = lens > 0
+            ne_starts = starts[nonempty]
+            for j in range(k):
+                if ne_starts.size:
+                    v = (flat * A[j] + Bc[j]) & mask
+                    out[nonempty, j] = np.minimum.reduceat(v, ne_starts)
+            res = pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "minhash": list(out)}
+            )
+            nulls = np.fromiter(
+                (a is None for a in arrs), dtype=bool, count=n
+            )
+            if nulls.any():
+                res.loc[nulls, "minhash"] = None
+            yield res
+
+    return kern
+
+
 def minhash_signatures_from_shingles(
-    base: DataFrame, k: int, hash_method: str
+    base: DataFrame, k: int, hash_method: str, engine: str = "auto"
 ) -> DataFrame:
-    """(id, minhash) from a ``minhash_shingle_frame`` output."""
+    """(id, minhash) from a ``minhash_shingle_frame`` output.
+    ``engine="auto"`` computes the 32-bit shingle hashes in the JVM
+    (xxhash64/md5 — engine-portable semantics are about the algorithm,
+    not the execution engine) and folds the k permutations with the
+    vectorized Arrow kernel (``_minhash_fold_kernel``, bit-identical);
+    ``engine="jvm"`` forces the pure-JVM ``aggregate`` fold everywhere
+    (the kernel's parity oracle in pytest)."""
+    if engine == "auto":
+        id_type = base.schema["id"].dataType.simpleString()
+        hs = (
+            F.col("sh")
+            if hash_method == "tokenmix"
+            else F.transform(
+                F.col("sh"), lambda s: shingle_hash(s, hash_method)
+            )
+        )
+        return base.select("id", hs.alias("sh")).mapInPandas(
+            _minhash_fold_kernel(k), f"id {id_type}, minhash array<long>"
+        )
     if hash_method == "tokenmix":
         base = base.select("id", F.col("sh").alias("hs"))
     else:
@@ -331,17 +415,67 @@ def minhash_lsh_pairs(
         "id", F.explode(F.array(*band_cols)).alias("bk")
     ).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh")
+    )
+    # r7 candidate generation: ONE groupBy materializes each bucket's
+    # member list (replacing sizes-aggregate + cap join + self-join —
+    # three passes over the bucket frame and two extra Exchanges of
+    # it). Metrics, the cap filter and pair generation all read the
+    # checkpointed grouped frame. Pairs come from an in-row
+    # combination expansion for buckets up to _PAIR_GEN_MAX members
+    # (the overwhelming majority — LSH buckets are near-dup groups);
+    # larger eligible buckets fall back to the classic per-bucket
+    # self-join, which streams the quadratic output instead of
+    # materializing one giant in-row array. Same pair set either way
+    # (sorted members, i<j), same metrics.
+    grouped = buckets.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("_bsz"),
+        F.collect_list("id").alias("_ids"),
     ).localCheckpoint(eager=True)
-    buckets, metrics = _cap_buckets(buckets, ["band", "bh"], max_bucket)
+    over = (
+        F.lit(False)
+        if max_bucket is None
+        else F.col("_bsz") > F.lit(int(max_bucket))
+    )
+    metrics = grouped.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("_bsz")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("dropped_members"),
+    )
+    elig = grouped.where((F.col("_bsz") >= 2) & ~over)
+    small_b = elig.where(F.col("_bsz") <= F.lit(_PAIR_GEN_MAX))
+    big_b = elig.where(F.col("_bsz") > F.lit(_PAIR_GEN_MAX))
 
-    a = buckets.alias("a")
-    b_ = buckets.alias("b")
-    cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+    def _combos(ids_sorted):
+        m = F.size(ids_sorted)
+        return F.flatten(
+            F.transform(
+                ids_sorted,
+                lambda x, i: F.transform(
+                    F.slice(ids_sorted, i + F.lit(2), m - i - F.lit(1)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
+
+    from ..functions.hof import let_col
+
+    pairs_small = small_b.select(
+        F.explode(let_col(F.array_sort("_ids"), _combos)).alias("p")
+    ).select("p.id_a", "p.id_b")
+    bige = big_b.select("band", "bh", F.explode("_ids").alias("id"))
+    ba, bb = bige.alias("a"), bige.alias("b")
+    pairs_big = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
     )
+    cand = pairs_small.union(pairs_big).distinct()
 
     # Verify joins read the checkpointed shingle frame — no upstream
     # re-evaluation, no second corpus-wide shingle pass. The candidate

@@ -520,24 +520,104 @@ def make_assign_ccos_udf(centroids: np.ndarray):
     return assign_ccos
 
 
-def _local_cluster_dups(capped: DataFrame, threshold: float, keep: str) -> DataFrame:
+def _assign_ccos_vnb_batches(centroids: np.ndarray):
+    """mapInPandas twin of ``make_assign_ccos_udf`` for the
+    pairs='local' path (r7): identical assignment arithmetic (same
+    chunked ``|v|^2 - 2 v.c + |c|^2`` matmul, same argmin, same cosine),
+    but the unit-normalized vector leaves the stage as ONE flat
+    float64 BINARY cell instead of an Arrow list<double> — the pair
+    stage then rebuilds each cluster's matrix with a single
+    ``np.frombuffer`` instead of 10k-per-batch list conversions
+    (guide §4.2: binary columns are re-sliced buffers, not per-element
+    structures)."""
+    cn2 = (centroids**2).sum(axis=1)
+    cnorm = np.sqrt(cn2)
+    ct = np.ascontiguousarray(centroids.T)
+    from typing import Iterator
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vs = pdf["v"].to_list()
+            mask = np.fromiter(
+                (x is not None for x in vs), dtype=bool, count=n
+            )
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "list_id": pd.array([pd.NA] * n, dtype="Int32"),
+                    "ccos": pd.array([pd.NA] * n, dtype="Float64"),
+                    "vnb": [None] * n,
+                }
+            )
+            if mask.any():
+                mat = np.stack(
+                    [
+                        np.asarray(v, dtype=np.float64)
+                        for v, m in zip(vs, mask)
+                        if m
+                    ]
+                )
+                nrow = len(mat)
+                vnorm = np.sqrt((mat**2).sum(axis=1))
+                v2 = vnorm**2
+                lid = np.empty(nrow, dtype=np.int64)
+                CH = 4096
+                dbuf = np.empty((min(CH, nrow), len(cn2)))
+                for s0 in range(0, nrow, CH):
+                    e = min(s0 + CH, nrow)
+                    nb = e - s0
+                    np.matmul(mat[s0:e], ct, out=dbuf[:nb])
+                    dbuf[:nb] *= -2.0
+                    dbuf[:nb] += cn2[None, :]
+                    dbuf[:nb] += v2[s0:e, None]
+                    lid[s0:e] = dbuf[:nb].argmin(axis=1)
+                dd = np.einsum("ij,ij->i", mat, centroids[lid])
+                cc = dd / (vnorm * cnorm[lid])
+                vn = mat / vnorm[:, None]
+                out.loc[mask, "list_id"] = lid.astype(np.int32)
+                out.loc[mask, "ccos"] = cc
+                out.loc[mask, "vnb"] = pd.Series(
+                    [vn[i].tobytes() for i in range(nrow)],
+                    index=out.index[mask],
+                )
+            yield out
+
+    return fn
+
+
+def _local_cluster_dups(
+    capped: DataFrame, threshold: float, keep: str, vn_col: str = "vn"
+) -> DataFrame:
     """Dominated ids per cluster via ONE applyInPandas pass: blocked
     ``m @ m.T`` cosine matrix (unit vectors -> dot == cosine) and a
     vectorized dominance reduction. Row-chunked so a cluster at the
     ``max_cluster`` cap stays ~80 MB of scratch, not O(c^2) resident
-    (the allocation-storm lesson from make_assign_ccos_udf)."""
+    (the allocation-storm lesson from make_assign_ccos_udf).
+    ``vn_col="vnb"`` reads the flat-binary unit vectors (one
+    frombuffer per cluster, zero per-row conversion)."""
     from pyspark.sql.types import StructField, StructType
 
     out_t = StructType([StructField("id", capped.schema["id"].dataType)])
     flip = keep == "farthest"
     thr = float(threshold)
+    binary_vn = vn_col == "vnb"
 
     def f(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf[pdf["vn"].notna()]
+        pdf = pdf[pdf[vn_col].notna()]
         n = len(pdf)
         if n < 2:
             return pdf.iloc[0:0][["id"]]
-        m = np.stack(pdf["vn"].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy())
+        if binary_vn:
+            m = np.frombuffer(b"".join(pdf[vn_col]), dtype=np.float64).reshape(
+                n, -1
+            )
+        else:
+            m = np.stack(
+                pdf[vn_col].map(lambda v: np.asarray(v, dtype=np.float64)).to_numpy()
+            )
         ids = pdf["id"].to_numpy()
         cc = pdf["ccos"].to_numpy(dtype=np.float64)
         dom = np.zeros(n, dtype=bool)
@@ -642,26 +722,37 @@ def semantic_dedup(
     else:
         centroids = pinned_centroids(n_lists, dim, seed)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vn_col = "vn"
+    pair_sim = None
     if assign == "udf":
         # scale path: one Arrow matmul per batch — n_lists can be
         # thousands (sqrt(N) clusters keeps the pair join near-linear);
         # the pure-Column path below is the oracle-exact small-k twin.
-        # The UDF emits the unit-normalized vector so the pair stage
-        # is a single dot fold; the frame is persisted across its four
-        # consumers (cap sizes, both join sides, output) with the knn
-        # materialize lifecycle — assignment computes ONCE.
-        ac = make_assign_ccos_udf(centroids)
-        s = base.withColumn("_ac", ac(F.col("v"))).select(
-            "id",
-            F.col("_ac.list_id").alias("list_id"),
-            F.col("_ac.ccos").alias("ccos"),
-            F.col("_ac.vn").alias("vn"),
-        )
-        pair_sim = F.aggregate(
-            F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # The frame is checkpointed across its consumers (cap sizes,
+        # pair stage, output) — assignment computes ONCE.
+        if pairs == "local":
+            # r7: the local pair kernel consumes whole clusters, so the
+            # unit vectors travel as flat binary (one frombuffer per
+            # cluster) — same assignment arithmetic, far cheaper Arrow
+            idt = base.schema["id"].dataType.simpleString()
+            s = base.mapInPandas(
+                _assign_ccos_vnb_batches(centroids),
+                f"id {idt}, list_id int, ccos double, vnb binary",
+            )
+            vn_col = "vnb"
+        else:
+            ac = make_assign_ccos_udf(centroids)
+            s = base.withColumn("_ac", ac(F.col("v"))).select(
+                "id",
+                F.col("_ac.list_id").alias("list_id"),
+                F.col("_ac.ccos").alias("ccos"),
+                F.col("_ac.vn").alias("vn"),
+            )
+            pair_sim = F.aggregate(
+                F.zip_with(F.col("a.vn"), F.col("b.vn"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         materialize = True
     else:
         cos_arr = F.array(
@@ -692,7 +783,7 @@ def semantic_dedup(
         else (F.col("b.ccos") < F.col("a.ccos"))
     )
     if pairs == "local":
-        dominated = _local_cluster_dups(capped, threshold, keep)
+        dominated = _local_cluster_dups(capped, threshold, keep, vn_col)
     else:
         dominated = (
             a.join(

@@ -30,6 +30,14 @@ _DEFAULTS: dict[str, str] = {
     # 100 TB scans want larger split sizes; harmless locally.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # r7 (guide §3.1/§9): allow shuffled-hash joins when a side fits a
+    # per-partition hash map instead of always sorting both sides —
+    # the funnel's digest semi-join sorts a text-carrying frame
+    # otherwise (interleaved A/B: 4.9 -> 4.5 s warm per action). The
+    # AQE threshold bounds the build side per post-shuffle partition,
+    # so the OOM risk the guide notes stays capped on any cluster.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "256m",
     # Quieter driver logs in the sandbox.
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

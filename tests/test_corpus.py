@@ -311,7 +311,38 @@ def test_quantile_rollup_sketch_bounds(spark):
 def test_clusters_nonconvergence_raises(spark):
     # wrong clusters are worse than no clusters: exhausting max_iters
     # without a fixpoint must raise, not return partial merges
+    # (driver_max_edges=0 forces the distributed rounds — the r7
+    # driver union-find needs no iteration and converges exactly)
     pairs = [(i, i + 1) for i in range(12)]
     pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
     with pytest.raises(ValueError, match="did not converge"):
-        duplicate_clusters(pdf, max_iters=3)
+        duplicate_clusters(pdf, max_iters=3, driver_max_edges=0)
+
+
+class TestDriverUnionFind:
+    """r7 adaptive CC: driver union-find (small edge sets) must equal
+    the distributed propagation rounds exactly."""
+
+    def test_driver_path_equals_distributed(self, spark):
+        import pandas as pd
+
+        from streetview_naturevisibility_spark.operators.corpus import (
+            duplicate_clusters,
+        )
+
+        pairs = spark.createDataFrame(
+            # two chains, one clique, one isolated pair, one self-pair
+            [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21),
+             (30, 30), (40, 41)],
+            "id_a long, id_b long",
+        )
+        fast = duplicate_clusters(pairs).toPandas()
+        slow = duplicate_clusters(pairs, driver_max_edges=0).toPandas()
+        key = ["doc_id", "cluster_id", "cluster_size"]
+        a = fast[key].sort_values(key).reset_index(drop=True)
+        b = slow[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert set(a.columns) == set(key)
+        # self-pair 30 must be absent; chain 1-2-3 labeled 1 size 3
+        assert 30 not in set(a.doc_id)
+        assert a[a.doc_id == 3].cluster_id.iloc[0] == 1

@@ -568,3 +568,77 @@ class TestTokenmixPropertyExactness:
             assert abs(ja - want) < 1e-12, (a, b, n)
 
         case()
+
+
+class TestPairGenHybrid:
+    """r7 candidate generation: in-row combination expansion for small
+    buckets vs streamed self-join for buckets above _PAIR_GEN_MAX —
+    both paths must emit the identical verified pair set."""
+
+    def test_big_bucket_selfjoin_path_equals_combination_path(
+        self, spark, docs, monkeypatch
+    ):
+        base = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, hash_method="tokenmix"
+        ).toPandas()
+        # force EVERY eligible bucket through the big-bucket self-join
+        monkeypatch.setattr(dedup, "_PAIR_GEN_MAX", 1)
+        forced = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, hash_method="tokenmix"
+        ).toPandas()
+        key = ["id_a", "id_b", "jaccard"]
+        a = base[key].sort_values(key).reset_index(drop=True)
+        b = forced[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) > 0
+
+    def test_metrics_identical_across_paths(self, spark, docs, monkeypatch):
+        _, m1 = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, max_bucket=3, return_metrics=True
+        )
+        r1 = m1.collect()[0]
+        monkeypatch.setattr(dedup, "_PAIR_GEN_MAX", 1)
+        _, m2 = dedup.minhash_lsh_pairs(
+            docs, jaccard_threshold=0.5, max_bucket=3, return_metrics=True
+        )
+        r2 = m2.collect()[0]
+        assert (r1.n_buckets, r1.dropped_buckets, r1.dropped_members) == (
+            r2.n_buckets,
+            r2.dropped_buckets,
+            r2.dropped_members,
+        )
+
+
+class TestMinhashKernelParity:
+    """r7 vectorized signature fold: the Arrow kernel must be
+    bit-identical to the JVM aggregate it replaces."""
+
+    def test_kernel_equals_jvm_fold(self, spark, docs):
+        sh = dedup.minhash_shingle_frame(docs, "text", "doc_id", 3, "tokenmix")
+        fast = dedup.minhash_signatures_from_shingles(sh, 32, "tokenmix")
+        slow = dedup.minhash_signatures_from_shingles(
+            sh, 32, "tokenmix", engine="jvm"
+        )
+        key = F.col("minhash").cast("string").alias("m")
+        assert fast.select("id", key).exceptAll(slow.select("id", key)).count() == 0
+        assert slow.select("id", key).exceptAll(fast.select("id", key)).count() == 0
+
+    def test_kernel_null_and_empty_rows(self, spark):
+        src = spark.createDataFrame(
+            [(1, [5, 7, 9]), (2, None), (3, [])],
+            "id long, sh array<long>",
+        )
+        fast = {
+            r.id: r.minhash
+            for r in dedup.minhash_signatures_from_shingles(
+                src, 8, "tokenmix"
+            ).collect()
+        }
+        slow = {
+            r.id: r.minhash
+            for r in dedup.minhash_signatures_from_shingles(
+                src, 8, "tokenmix", engine="jvm"
+            ).collect()
+        }
+        assert fast == slow
+        assert fast[2] is None and fast[3] == [1 << 33] * 8

@@ -432,10 +432,12 @@ def main() -> None:
         )
     )
 
-    # 15. DSIR importance scoring: both bucket-count tables (<= B rows)
-    # broadcast into the exploded corpus; the 1-row totals broadcast-
-    # crossJoin; the only shuffle is the per-doc sum. Pure codegen
-    # feature hashing — no Python anywhere.
+    # 15. DSIR importance scoring (r7 shape): the per-doc bucket arrays
+    # are computed once (md5 feature hashing) and checkpointed; the
+    # n_buckets-double weight table rides in as ONE broadcast array row
+    # (BroadcastNestedLoopJoin of a 1-row frame); scoring itself is a
+    # map-only projection — the corpus-side explode, both count-table
+    # broadcast hash joins and the per-doc-sum Exchange are GONE.
     from streetview_naturevisibility_spark.operators.textops import dsir_score
 
     docs15 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -445,17 +447,19 @@ def main() -> None:
     ok15, n15 = check(
         "dsir score",
         p15,
-        must=["BroadcastHashJoin", "HashAggregate"],
+        must=["BroadcastNestedLoopJoin", "Scan ExistingRDD"],
         must_not=[
             "SortMergeJoin",
             "ArrowEvalPython",
             "BatchEvalPython",
             "CartesianProduct",
+            "Generate",
         ],
     )
     sections.append(
         (
-            "DSIR importance scoring: broadcast count tables, one per-doc-sum shuffle",
+            "DSIR importance scoring: checkpointed bucket arrays, broadcast "
+            "weight-table row, map-only scoring (zero corpus Exchange)",
             ds,
             p15,
             ok15,
