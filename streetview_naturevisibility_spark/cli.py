@@ -268,7 +268,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # classifier, dedup digests) judges the repaired text
         from .operators.textops import fix_text
 
-        fx = fix_text(docs)
+        fx = fix_text(docs).localCheckpoint(eager=True)
         n_fixed = fx.where("changed").count()
         docs = docs.drop("text").join(
             fx.select("doc_id", F.col("text_fixed").alias("text")), "doc_id"
@@ -285,7 +285,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
             docs,
             min_words_per_line=getattr(args, "c4_min_words", 3),
             min_sentences=getattr(args, "c4_min_sentences", 5),
-        )
+        ).localCheckpoint(eager=True)
         st = cc.agg(
             F.sum(F.col("keep").cast("long")).alias("kept"),
             F.sum("n_lines").alias("nl"),
@@ -308,7 +308,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
 
         blk = spark.read.parquet(args.blocklist)
         n_before = n_in
-        docs = decontaminate(docs, blk, n=args.decontam_n)
+        docs = decontaminate(docs, blk, n=args.decontam_n).localCheckpoint(
+            eager=True
+        )
         n_in = docs.count()
         print(
             f"[decontam] dropped={n_before - n_in} "
@@ -324,7 +326,7 @@ def cmd_curate(args: argparse.Namespace) -> None:
             docs,
             max_docs=getattr(args, "para_max_docs", 1),
             min_chars=getattr(args, "para_min_chars", 0),
-        )
+        ).localCheckpoint(eager=True)
         n_para_removed = pd_out.agg(F.sum("n_removed")).collect()[0][0] or 0
         docs = docs.drop("text").join(
             pd_out.select("doc_id", F.col("text_deduped").alias("text")),
@@ -337,7 +339,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # repeated L-char chunk except its globally-first occurrence
         from .operators.textops import chunk_dedup
 
-        cd_out = chunk_dedup(docs, chunk_chars=args.chunk_dedup)
+        cd_out = chunk_dedup(docs, chunk_chars=args.chunk_dedup).localCheckpoint(
+            eager=True
+        )
         n_chunks_removed = cd_out.agg(F.sum("n_removed")).collect()[0][0] or 0
         docs = docs.drop("text").join(
             cd_out.select("doc_id", F.col("text_deduped").alias("text")),
@@ -354,7 +358,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # the chunk grid; pairs naturally with --c4)
         from .operators.textops import span_dedup_c4
 
-        sd_out = span_dedup_c4(docs, n_sents=args.span_dedup)
+        sd_out = span_dedup_c4(docs, n_sents=args.span_dedup).localCheckpoint(
+            eager=True
+        )
         n_spans_removed = sd_out.agg(F.sum("n_removed")).collect()[0][0] or 0
         docs = docs.drop("text").join(
             sd_out.select("doc_id", F.col("text_deduped").alias("text")),
@@ -371,7 +377,9 @@ def cmd_curate(args: argparse.Namespace) -> None:
         # position — see BENCH/BASELINE.md "grid-alignment recall")
         from .operators.textops import chunk_dedup_cdc
 
-        cdc_out = chunk_dedup_cdc(docs, avg_tokens=args.chunk_dedup_cdc)
+        cdc_out = chunk_dedup_cdc(docs, avg_tokens=args.chunk_dedup_cdc).localCheckpoint(
+            eager=True
+        )
         n_cdc_removed = cdc_out.agg(F.sum("n_removed")).collect()[0][0] or 0
         docs = docs.drop("text").join(
             cdc_out.select("doc_id", F.col("text_deduped").alias("text")),

@@ -56,7 +56,16 @@ def train_bpe(
     and a rescan-parity case): a pair->words inverted index means each
     merge re-counts only the words CONTAINING the winning pair —
     O(affected words) per merge instead of O(vocab).
+
+    r7: best-pair selection via a lazy-deletion heap ordered by
+    (-count, pair) instead of a full scan of the pair table per merge
+    — popped entries are verified against the live count and re-pushed
+    when stale, so the selected pair (and its lexicographic tie-break)
+    is IDENTICAL to the min-scan; the 100-merge / ~100k-pair driver
+    training measured ~1.9 s of which the per-merge scans were most.
     """
+    import heapq
+
     words: list[tuple[str, ...]] = []
     freqs: list[int] = []
     for w, f in word_freqs.items():
@@ -72,16 +81,28 @@ def train_bpe(
             pairs[(a, b)] += f
             where.setdefault((a, b), set()).add(wi)
 
+    heap = [(-c, p) for p, c in pairs.items()]
+    heapq.heapify(heap)
+
     merges: list[tuple[str, str]] = []
     for _ in range(int(n_merges)):
-        if not pairs:
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            cur = pairs.get(p)
+            if cur is None:
+                continue
+            if cur != -negc:
+                heapq.heappush(heap, (-cur, p))
+                continue
+            best = (p, cur)
             break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
-        if best[1] < 2:
+        if best is None or best[1] < 2:
             break
         pair = best[0]
         merges.append(pair)
         merged = pair[0] + pair[1]
+        touched: set[tuple[str, str]] = set()
         for wi in list(where.get(pair, ())):
             syms = words[wi]
             f = freqs[wi]
@@ -90,6 +111,7 @@ def train_bpe(
             # global counter is exactly the full-rescan delta
             for a, b in zip(syms, syms[1:]):
                 pairs[(a, b)] -= f
+                touched.add((a, b))
                 if pairs[(a, b)] <= 0:
                     del pairs[(a, b)]
                 s = where.get((a, b))
@@ -114,7 +136,16 @@ def train_bpe(
             words[wi] = new_syms
             for a, b in zip(new_syms, new_syms[1:]):
                 pairs[(a, b)] += f
+                touched.add((a, b))
                 where.setdefault((a, b), set()).add(wi)
+        # ONE heap push per net-changed pair per merge (per-word pushes
+        # measured 3.5x slower than the min-scan they replaced — the
+        # retract/re-add churn pushed every unchanged pair too); stale
+        # entries are filtered by the verify-on-pop above
+        for p in touched:
+            c = pairs.get(p)
+            if c is not None:
+                heapq.heappush(heap, (-c, p))
     return merges
 
 

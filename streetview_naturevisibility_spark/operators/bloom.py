@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _H2_SALT = 0x5BD1E995  # second-hash salt column (any fixed literal)
+_SLICE = 4 << 20  # bitmap shard size for the build shuffle (bytes)
 
 
 def bloom_params(capacity: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -77,11 +78,23 @@ def build_bloom(
     ``bloom_probe_col``/``bloom_anti_join``."""
     m, k = bloom_params(capacity, fpp)
     hashed = df.where(F.col(col).isNotNull()).select(*_hash_cols(F.col(col)))
+    # r7 (advisor finding): emit the per-partition bitmap as FIXED-SIZE
+    # SLICES keyed (slice_idx, grp) instead of one m/8-byte row per
+    # partition — at the docstring's own 1e9-digest design point a full
+    # row is ~1.2 GB, which exceeds Arrow/shuffle record limits and
+    # concentrates the whole filter in one reduce group. Slices OR per
+    # (slice, grp), then per slice, so no single row or reduce group
+    # exceeds _SLICE bytes; the driver assembles exactly m/8 bytes from
+    # <= n_slices rows. Same bits, verified by the no-false-negative /
+    # survivors-equality pytest suite.
+    n_bytes = m // 8
+    slice_bytes = min(n_bytes, _SLICE)
+    n_slices = -(-n_bytes // slice_bytes)
 
     def partition_bitmap(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        bits = np.zeros(m // 8, dtype=np.uint8)
+        bits = np.zeros(n_bytes, dtype=np.uint8)
         seen = False
         for pdf in it:
             if not len(pdf):
@@ -98,29 +111,57 @@ def build_bloom(
             )
         if seen:
             grp = TaskContext.get().partitionId() % fanin
-            yield pd.DataFrame({"grp": [grp], "bits": [bits.tobytes()]})
+            for s in range(n_slices):
+                sl = bits[s * slice_bytes : (s + 1) * slice_bytes]
+                if sl.any():  # all-zero slices add nothing to the OR
+                    yield pd.DataFrame(
+                        {"slice": [s], "grp": [grp], "bits": [sl.tobytes()]}
+                    )
 
-    parts = hashed.mapInPandas(partition_bitmap, "grp int, bits binary")
+    parts = hashed.mapInPandas(
+        partition_bitmap, "slice int, grp int, bits binary"
+    )
 
     def or_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        acc = np.zeros(m // 8, dtype=np.uint8)
-        for b in pdf["bits"]:
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
             acc |= np.frombuffer(b, dtype=np.uint8)
-        return pd.DataFrame({"bits": [acc.tobytes()]})
+        return pd.DataFrame(
+            {"slice": [int(pdf["slice"].iloc[0])], "bits": [acc.tobytes()]}
+        )
 
-    merged = parts.groupBy("grp").applyInPandas(or_group, "bits binary")
-    final = np.zeros(m // 8, dtype=np.uint8)
-    for r in merged.collect():  # bounded: <= fanin rows
-        final |= np.frombuffer(r.bits, dtype=np.uint8)
+    merged = (
+        parts.groupBy("slice", "grp")
+        .applyInPandas(or_group, "slice int, bits binary")
+        .groupBy("slice")
+        .applyInPandas(or_group, "slice int, bits binary")
+    )
+    final = np.zeros(n_bytes, dtype=np.uint8)
+    for r in merged.collect():  # <= n_slices rows, m/8 bytes total
+        s = int(r.slice)
+        sl = np.frombuffer(r.bits, dtype=np.uint8)
+        final[s * slice_bytes : s * slice_bytes + len(sl)] |= sl
     return {"bits": final, "m": m, "k": k}
 
 
 def bloom_probe_col(df: DataFrame, col: str, bloom: dict) -> DataFrame:
     """Append ``_maybe_member`` (bool). Broadcast bitmap, hashes
     JVM-side, lookup an Arrow-batched vectorized numpy gather —
-    map-only."""
+    map-only.
+
+    r7 (advisor findings): the bitmap broadcast is created ONCE per
+    filter lifetime and cached on the ``bloom`` dict — repeated probes
+    of many batches against one filter used to leak one ~GB-scale
+    broadcast per call. The probe UDF is marked ``asNondeterministic``
+    (it is pure, but must not be propagated): Catalyst otherwise
+    infers the probe predicate onto the DONE side of the residual
+    semi-join, adding a full Python pass over the ever-growing done
+    set."""
     m, k = bloom["m"], bloom["k"]
-    bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
+    bc = bloom.get("_bc")
+    if bc is None:
+        bc = df.sparkSession.sparkContext.broadcast(bloom["bits"])
+        bloom["_bc"] = bc
 
     @F.pandas_udf("boolean")
     def probe(h1: pd.Series, h2: pd.Series) -> pd.Series:
@@ -133,6 +174,7 @@ def bloom_probe_col(df: DataFrame, col: str, bloom: dict) -> DataFrame:
         hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
         return pd.Series(hit.all(axis=1))
 
+    probe = probe.asNondeterministic()
     c = F.col(col)
     return df.withColumn(
         "_maybe_member",

@@ -667,3 +667,36 @@ def test_cli_curate_span_dedup(spark, tmp_path, capsys):
     cur = spark.read.parquet(os.path.join(out, "curated"))
     n_with_shared = cur.where(F.col("text").contains("Shared open one")).count()
     assert n_with_shared == 1
+
+
+class TestBloomR7:
+    """r7 bloom fixes: sliced bitmap build (same bits), one broadcast
+    per filter lifetime, nondeterministic probe (no done-side copy)."""
+
+    def test_sliced_build_same_bits(self, spark, monkeypatch):
+        from streetview_naturevisibility_spark.operators import bloom as BL
+
+        docs = spark.range(0, 5000, 1, 8).select(
+            F.md5(F.col("id").cast("string")).alias("d")
+        )
+        whole = BL.build_bloom(docs, "d", capacity=5000, fpp=0.01)
+        # force many tiny slices through the same build
+        monkeypatch.setattr(BL, "_SLICE", 64)
+        sliced = BL.build_bloom(docs, "d", capacity=5000, fpp=0.01)
+        assert whole["m"] == sliced["m"] and whole["k"] == sliced["k"]
+        assert (whole["bits"] == sliced["bits"]).all()
+
+    def test_probe_broadcast_reused_and_nondeterministic(self, spark):
+        from streetview_naturevisibility_spark.operators import bloom as BL
+
+        docs = spark.range(0, 100, 1, 2).select(
+            F.md5(F.col("id").cast("string")).alias("d")
+        )
+        bl = BL.build_bloom(docs, "d", capacity=100)
+        p1 = BL.bloom_probe_col(docs, "d", bl)
+        bc = bl.get("_bc")
+        assert bc is not None
+        p2 = BL.bloom_probe_col(docs, "d", bl)
+        assert bl["_bc"] is bc  # no new broadcast per probe
+        assert p1.where(F.col("_maybe_member")).count() == 100
+        assert p2.where(F.col("_maybe_member")).count() == 100
