@@ -3,13 +3,16 @@
 Four families, all Spark-first:
 
 - exact: hash-groupBy on content digest (one shuffle of digests only);
-- MinHash + LSH: shingle -> minhash -> band -> bucket join, implemented
-  ENTIRELY with JVM higher-order functions — zero Python in the hot
-  path, so the signature stage is whole-stage codegen over the 100 TB
-  side. Default shingle hash is "tokenmix" (tokens hashed once, window
-  hashes mixed arithmetically — no shingle strings built; 2x the full
-  pipeline vs hashing shingle strings); "md5" is the engine-portable
-  oracle twin;
+- MinHash + LSH: shingle -> minhash -> band -> bucket join. Shingle
+  hashing is JVM higher-order functions (whole-stage codegen over the
+  100 TB side); the k-permutation fold runs as a vectorized Arrow
+  kernel (bit-identical to the JVM ``aggregate`` twin it keeps as its
+  pytest parity oracle — guide §4.2, measured 2.4x). Default shingle
+  hash is "tokenmix" (tokens hashed once, window hashes mixed
+  arithmetically — no shingle strings built; 2x the full pipeline vs
+  hashing shingle strings); "md5" is the engine-portable oracle twin
+  (portability is about the ALGORITHM's SQL restatement, not the
+  execution engine);
 - SimHash: 64-bit majority-vote signature via a vectorized NumPy pandas
   UDF (bit-parallel: counts per bit over token hashes), hamming-bucket
   candidates;
