@@ -399,9 +399,11 @@ def minhash_lsh_pairs(
     # frame is materialized once more so the self-join + cap sizes
     # read blocks instead of recomputing the k-permutation fold.
     # Compute happens at CALL time (the knn_snap precedent).
+    from pyspark import StorageLevel
+
     sh_frame = minhash_shingle_frame(
         df, text_col, id_col, n, hash_method
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sig = minhash_signatures_from_shingles(sh_frame, k, hash_method)
     band_cols = []
     for b in range(bands):
@@ -433,7 +435,7 @@ def minhash_lsh_pairs(
     grouped = buckets.groupBy("band", "bh").agg(
         F.count(F.lit(1)).alias("_bsz"),
         F.collect_list("id").alias("_ids"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     over = (
         F.lit(False)
         if max_bucket is None

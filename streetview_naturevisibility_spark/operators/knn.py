@@ -169,8 +169,15 @@ def _snap_reduce_join(
             # write elsewhere), nothing registered in the CacheManager,
             # blocks reclaimed by the ContextCleaner when `best` (and
             # with it this lineage) is dropped. Same one-scan
-            # guarantee: both reduce phases read the blocks.
-            cand = cand.localCheckpoint(eager=True)
+            # guarantee: both reduce phases read the blocks. DISK_ONLY:
+            # the blocks are written once and read twice back-to-back
+            # (page-cache-speed locally) and never squat on executor
+            # storage memory that the reduce itself needs.
+            from pyspark import StorageLevel
+
+            cand = cand.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
         md = cand.groupBy("point_id").agg(F.min("_dist").alias("_md"))
         best = (
             cand.join(F.broadcast(md), "point_id")

@@ -774,7 +774,11 @@ def semantic_dedup(
         # cache build itself costs ~4x a block write for array columns
         # (measured on the dsir bucket arrays). Blocks are reclaimed by
         # the ContextCleaner when the returned frame is dropped.
-        s = s.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        s = s.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
     capped, metrics = _cap_buckets(s, ["list_id"], max_cluster)
     a, b = capped.alias("a"), capped.alias("b")
     better = (

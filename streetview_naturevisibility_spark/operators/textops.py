@@ -1186,7 +1186,11 @@ def dsir_score(
         # columnar .persist() cache build measured ~4x the block write
         # for this array column); both the count pass and the scoring
         # pass read it, so the md5 feature hashing runs once
-        bs_frame = bs_frame.localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        bs_frame = bs_frame.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         # vectorized partial counts (guide §4.2): one np.bincount per
         # Arrow batch and ONE 10k-row partial per task instead of a
         # 79M-row Generate + per-row hash aggregate (measured 8.2 s ->
