@@ -1406,30 +1406,53 @@ def score_quality_classifier(
 ) -> DataFrame:
     """Distributed scoring: P(reference-like) per doc.
 
-    -> (id_col, clf_prob). The weight table is <= B rows and
-    broadcast; the corpus explodes to its gram instances and shuffles
-    ONCE (the per-doc margin sum) — the dsir_score plan with a learned
-    log-ratio. NULL-text docs are ABSENT (callers left-join and
-    decide, the LM-filter contract). The margin is an FP sum whose
-    partial order Spark does not fix — probabilities are rounded to 6.
+    -> (id_col, clf_prob). NULL-text docs are ABSENT (callers
+    left-join and decide, the LM-filter contract). The margin is an FP
+    sum whose order Spark does not fix — probabilities are rounded
+    to 6.
+
+    r7 (the dsir_score restructure applied here too): the per-bucket
+    weight depends only on the bucket id, so the whole table rides in
+    as ONE b-ordered array in a 1-row broadcast and scoring is a
+    map-only ``aggregate`` over each doc's bucket array — the
+    gram-instance explode, the broadcast weight join and the per-doc
+    margin shuffle are gone. Per-element term order and arithmetic
+    (``w[b] * inv_n`` summed in array order) match the old explode +
+    partial-agg plan, so the margins are bit-equal (-0.0 weights are
+    normalized to +0.0, matching the old ``w != 0`` filter +
+    coalesce-to-+0.0 semantics).
     """
     n_buckets = len(weights)
     spark = docs.sparkSession
-    wdf = spark.createDataFrame(
-        [(int(i), float(v)) for i, v in enumerate(weights) if v != 0.0],
-        "b long, w double",
+    w = np.asarray(weights, dtype=np.float64) + 0.0  # -0.0 -> +0.0
+    w_one_row = spark.createDataFrame(
+        pd.DataFrame({"b": np.arange(n_buckets, dtype=np.int64), "w": w})
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("b"), F.col("w")))),
+            lambda s: s["w"],
+        ).alias("_w")
     )
-    feats = _clf_feature_rows(docs, text_col, id_col, n_buckets)
-    margin = (
-        feats.join(F.broadcast(wdf), ["b"], "left")
-        .groupBy("id")
-        .agg(
-            (F.sum(F.coalesce(F.col("w"), F.lit(0.0)) * F.col("inv_n")) + F.lit(float(bias))).alias("_z")
+    bs = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        hashed_ngram_buckets_col(text_col, n_buckets).alias("_fb"),
+    )
+    inv_n = F.lit(1.0) / F.size("_fb")
+    z = (
+        F.aggregate(
+            F.transform(
+                "_fb",
+                lambda b: F.element_at(F.col("_w"), b.cast("int") + F.lit(1))
+                * inv_n,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+        + F.lit(float(bias))
     )
-    return margin.select(
+    return bs.crossJoin(F.broadcast(w_one_row)).select(
         F.col("id").alias(id_col),
-        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z"))), 6).alias("clf_prob"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("clf_prob"),
     )
 
 

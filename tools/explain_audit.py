@@ -496,10 +496,12 @@ def main() -> None:
         )
     )
 
-    # 17. quality-classifier scoring: learned weights broadcast as a
-    # <= B-row table, corpus explodes and shuffles once (per-doc
-    # margin sum) — the dsir_score plan with trained weights; feature
-    # hashing is pure codegen, no Python in the plan.
+    # 17. quality-classifier scoring (r7 shape, the dsir_score
+    # restructure): the learned weight table rides in as ONE b-ordered
+    # array in a 1-row broadcast (BroadcastNestedLoopJoin) and the
+    # margin is a map-only aggregate over each doc's bucket array — no
+    # gram explode, no per-doc-margin Exchange, feature hashing pure
+    # codegen, no Python in the plan.
     import numpy as _np
 
     from streetview_naturevisibility_spark.operators.textops import (
@@ -515,17 +517,19 @@ def main() -> None:
     ok17, n17 = check(
         "clf score",
         p17,
-        must=["BroadcastHashJoin", "HashAggregate"],
+        must=["BroadcastNestedLoopJoin"],
         must_not=[
             "SortMergeJoin",
             "ArrowEvalPython",
             "BatchEvalPython",
             "CartesianProduct",
+            "Generate",
         ],
     )
     sections.append(
         (
-            "Quality-classifier scoring: broadcast weights, one per-doc-margin shuffle",
+            "Quality-classifier scoring: broadcast weight-array row, "
+            "map-only margin (zero corpus Exchange)",
             qc,
             p17,
             ok17,
